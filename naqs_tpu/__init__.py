@@ -1,0 +1,30 @@
+"""naqs_tpu: a TPU-native neural autoregressive quantum states (NAQS) framework.
+
+A from-scratch JAX/XLA/Pallas re-design of variational Monte Carlo for ab
+initio quantum chemistry with autoregressive neural wavefunctions (the
+capability set of tomdbar/naqs-for-quantum-chemistry, re-architected for TPU).
+
+Design pillars (vs. the reference PyTorch+Cython implementation):
+  * States are packed uint64 bitstrings; all hot math is bitwise/XLA-fused.
+  * The Jordan-Wigner local-energy engine is gather/parity based — no
+    materialized sparse Hamiltonian matrix on the hot path.
+  * The autoregressive sampler is a jitted ``lax.scan`` over orbital shells
+    with fixed-capacity unique-state buffers (no ragged host loops).
+  * All per-shell conditionals evaluate as one stacked (shell-vmapped)
+    dense network — a single MXU-friendly einsum instead of a ModuleList
+    of ragged MLPs.
+  * Scale-out is a 1-D ``jax.sharding.Mesh`` over the unique-sample batch
+    with ``shard_map`` + ``psum`` collectives.
+"""
+
+import jax as _jax
+
+# Chemistry-grade energies need f64 accumulations (|E| ~ 5e2 Ha resolved to
+# ~1e-4 Ha). Model compute stays explicitly f32; only reductions are f64.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from naqs_tpu.utils.molecule import Molecule, load_molecule  # noqa: E402,F401
+from naqs_tpu.hamiltonian import PauliTerms, compile_pauli_terms  # noqa: E402,F401
+from naqs_tpu.utils.hilbert import Hilbert  # noqa: E402,F401

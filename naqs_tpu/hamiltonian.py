@@ -1,0 +1,245 @@
+"""Jordan-Wigner Pauli-string Hamiltonian: term compilation and host oracles.
+
+A qubit Hamiltonian is a dict {((qubit, 'X'|'Y'|'Z'), ...): coeff}. Each
+Pauli string P_k acting on basis state |s> (s a packed occupation bitstring)
+gives exactly one coupled state |s ^ xy_k> with matrix element
+
+    <s ^ xy_k| P_k |s> = c_k * (-1)^{popcount(s & yz_k)}
+
+where xy_k has bits at X/Y sites (the flip mask), yz_k has bits at Y/Z sites
+(the sign mask), and c_k = (i^{n_Y} * coeff) which is real for Hermitian
+Hamiltonians with real orbitals (n_Y is always even).
+
+This compilation mirrors the semantics of the reference's coupling
+pre-processing (reference: src/optimizer/hamiltonian.py:373-430) but targets
+a gather/parity local-energy engine instead of an incrementally-assembled
+SciPy CSR matrix: terms are flat arrays (xy, yz, coeff) plus dedup'd unique
+XY / YZ masks and group indices, uploaded once to device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from naqs_tpu.utils.bits import np_parity_pm1
+
+PauliTermDict = Dict[Tuple[Tuple[int, str], ...], complex]
+
+
+@dataclass(frozen=True)
+class PauliTerms:
+    """Compiled Pauli-string Hamiltonian (host numpy; device upload is trivial).
+
+    Diagonal terms (xy == 0, including the identity) are kept separate from
+    off-diagonal ones so the local-energy engine can accumulate the diagonal
+    in f64 (it carries ~|E| ~ 1e2-1e3 Ha) while the off-diagonal part (the
+    ~0.1 Ha correlation physics) runs in f32/c64 on the MXU/VPU.
+    """
+
+    n_qubits: int
+    # diagonal part: E_diag(s) = sum_k dcoeff[k] * parity(s & dyz[k])
+    diag_yz: np.ndarray      # (Kd,) uint64
+    diag_coeff: np.ndarray   # (Kd,) float64
+    # off-diagonal part, flattened over terms
+    xy: np.ndarray           # (K,) uint64 flip masks (never 0)
+    yz: np.ndarray           # (K,) uint64 sign masks
+    coeff: np.ndarray        # (K,) float64
+    # dedup'd structures
+    xy_unique: np.ndarray    # (Kxy,) uint64 sorted unique flip masks
+    gxy: np.ndarray          # (K,) int32: index of term k's flip mask in xy_unique
+    yz_unique: np.ndarray    # (Kyz,) uint64 sorted unique sign masks (off-diag)
+    gyz: np.ndarray          # (K,) int32
+
+    @property
+    def n_terms(self) -> int:
+        return int(len(self.coeff) + len(self.diag_coeff))
+
+    @property
+    def n_unique_xy(self) -> int:
+        return int(len(self.xy_unique))
+
+
+def compile_pauli_terms(
+    terms: PauliTermDict,
+    n_qubits: int,
+    n_excitations_max: Optional[int] = None,
+    imag_tol: float = 1e-10,
+) -> PauliTerms:
+    """Compile a qubit-operator term dict into flat (xy, yz, coeff) arrays.
+
+    n_excitations_max: drop terms with more than this many X/Y sites
+    (reference semantics, hamiltonian.py:397-400: each X/Y site counts as one
+    excitation unit).
+    """
+    xys, yzs, coeffs = [], [], []
+    for term, coupling in terms.items():
+        xy = np.uint64(0)
+        yz = np.uint64(0)
+        n_y = 0
+        n_exc = 0
+        valid = True
+        for qubit, pauli in term:
+            if qubit >= n_qubits:
+                raise ValueError(f"term {term} touches qubit {qubit} >= {n_qubits}")
+            bit = np.uint64(1) << np.uint64(qubit)
+            if pauli in ("X", "Y"):
+                xy |= bit
+                n_exc += 1
+                if pauli == "Y":
+                    n_y += 1
+                    yz |= bit
+                if n_excitations_max is not None and n_exc > n_excitations_max:
+                    valid = False
+                    break
+            elif pauli == "Z":
+                yz |= bit
+            else:
+                raise ValueError(f"unknown Pauli '{pauli}' in term {term}")
+        if not valid:
+            continue
+        if n_y % 2 == 1:
+            # Odd-Y strings are anti-Hermitian noise from imperfect integrals;
+            # the reference zeroes them via (i**nY).real (hamiltonian.py:416).
+            if abs(coupling) > 1e-5:
+                raise ValueError(
+                    f"large odd-Y (non-Hermitian) term {term}: {coupling}"
+                )
+            continue
+        c = (1j ** n_y) * complex(coupling)
+        if abs(c.imag) > imag_tol * max(1.0, abs(c.real)):
+            raise ValueError(f"non-Hermitian coupling {c} for term {term}")
+        xys.append(xy)
+        yzs.append(yz)
+        coeffs.append(c.real)
+
+    xys = np.asarray(xys, dtype=np.uint64)
+    yzs = np.asarray(yzs, dtype=np.uint64)
+    coeffs = np.asarray(coeffs, dtype=np.float64)
+
+    is_diag = xys == 0
+    diag_yz, diag_coeff = yzs[is_diag], coeffs[is_diag]
+    xy, yz, coeff = xys[~is_diag], yzs[~is_diag], coeffs[~is_diag]
+
+    # merge duplicate diagonal sign-masks
+    diag_yz, inv = np.unique(diag_yz, return_inverse=True)
+    diag_coeff = np.bincount(inv, weights=diag_coeff, minlength=len(diag_yz))
+
+    # merge duplicate (xy, yz) off-diagonal pairs
+    order = np.lexsort((yz, xy))
+    xy, yz, coeff = xy[order], yz[order], coeff[order]
+    same = np.zeros(len(xy), dtype=bool)
+    if len(xy) > 1:
+        same[1:] = (xy[1:] == xy[:-1]) & (yz[1:] == yz[:-1])
+    group = np.cumsum(~same) - 1
+    n_groups = group[-1] + 1 if len(group) else 0
+    first = np.flatnonzero(~same)
+    xy_m = xy[first]
+    yz_m = yz[first]
+    coeff_m = np.bincount(group, weights=coeff, minlength=n_groups)
+    xy, yz, coeff = xy_m, yz_m, coeff_m
+
+    xy_unique, gxy = np.unique(xy, return_inverse=True)
+    yz_unique, gyz = np.unique(yz, return_inverse=True)
+
+    return PauliTerms(
+        n_qubits=n_qubits,
+        diag_yz=diag_yz.astype(np.uint64),
+        diag_coeff=diag_coeff.astype(np.float64),
+        xy=xy.astype(np.uint64),
+        yz=yz.astype(np.uint64),
+        coeff=coeff.astype(np.float64),
+        xy_unique=xy_unique.astype(np.uint64),
+        gxy=gxy.astype(np.int32),
+        yz_unique=yz_unique.astype(np.uint64),
+        gyz=gyz.astype(np.int32),
+    )
+
+
+# --------------------------------------------------------------- host oracle
+
+def diagonal_energy_np(terms: PauliTerms, states: np.ndarray) -> np.ndarray:
+    """<s|H|s> for packed states (float64)."""
+    states = np.asarray(states, dtype=np.uint64)
+    par = np_parity_pm1(states[:, None] & terms.diag_yz[None, :]).astype(np.float64)
+    return par @ terms.diag_coeff
+
+
+def assemble_dense_hamiltonian_np(terms: PauliTerms, basis: np.ndarray) -> np.ndarray:
+    """Dense H over a (sorted) packed-state basis. Oracle for tests/solve_H.
+
+    Semantics match the reference's on-demand CSR assembly
+    (hamiltonian.py:272-370): couplings to states outside `basis` are dropped.
+    """
+    basis = np.asarray(basis, dtype=np.uint64)
+    n = len(basis)
+    H = np.zeros((n, n), dtype=np.float64)
+    H[np.arange(n), np.arange(n)] = diagonal_energy_np(terms, basis)
+    for xy, yz, c in zip(terms.xy, terms.yz, terms.coeff):
+        coupled = basis ^ xy
+        pos = np.searchsorted(basis, coupled)
+        pos_c = np.minimum(pos, n - 1)
+        found = basis[pos_c] == coupled
+        sign = np_parity_pm1(basis & yz).astype(np.float64)
+        rows = np.flatnonzero(found)
+        H[rows, pos_c[rows]] += c * sign[rows]
+    return H
+
+
+def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray):
+    """scipy CSR H over a sorted packed-state basis (for Lanczos solve_H)."""
+    import scipy.sparse as sp
+
+    basis = np.asarray(basis, dtype=np.uint64)
+    n = len(basis)
+    rows = [np.arange(n, dtype=np.int64)]
+    cols = [np.arange(n, dtype=np.int64)]
+    vals = [diagonal_energy_np(terms, basis)]
+    for xy in terms.xy_unique:
+        sel = terms.xy == xy
+        yzs, cs = terms.yz[sel], terms.coeff[sel]
+        coupled = basis ^ xy
+        pos = np.searchsorted(basis, coupled)
+        pos_c = np.minimum(pos, n - 1)
+        found = basis[pos_c] == coupled
+        idx = np.flatnonzero(found)
+        if len(idx) == 0:
+            continue
+        h = np.zeros(len(idx), dtype=np.float64)
+        for yz, c in zip(yzs, cs):
+            h += c * np_parity_pm1(basis[idx] & yz)
+        rows.append(idx)
+        cols.append(pos_c[idx])
+        vals.append(h)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+
+def local_energy_np(
+    terms: PauliTerms, states: np.ndarray, psi: np.ndarray
+) -> np.ndarray:
+    """Host-oracle local energy E_loc(s) = sum_s' H_{s s'} psi(s') / psi(s).
+
+    `states` must be sorted ascending; psi aligned. States outside the sample
+    contribute zero (reference semantics, energy.py:247-248). This is also the
+    CPU performance baseline quoted by bench.py.
+    """
+    states = np.asarray(states, dtype=np.uint64)
+    e = diagonal_energy_np(terms, states).astype(np.complex128)
+    for xy in terms.xy_unique:
+        sel = terms.xy == xy
+        yzs, cs = terms.yz[sel], terms.coeff[sel]
+        coupled = states ^ xy
+        pos = np.searchsorted(states, coupled)
+        pos_c = np.minimum(pos, len(states) - 1)
+        found = states[pos_c] == coupled
+        h = np.zeros(len(states), dtype=np.float64)
+        for yz, c in zip(yzs, cs):
+            h += c * np_parity_pm1(states & yz)
+        ratio = np.where(found, psi[pos_c] / psi, 0.0)
+        e += h * ratio
+    return e
