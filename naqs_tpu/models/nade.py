@@ -1,0 +1,364 @@
+"""Orbital-wise autoregressive NAQS ansatz, TPU-first.
+
+The wavefunction factorizes over spatial-orbital "shells" (pairs of
+spin-qubits): psi(s) = prod_i psi_i(occ_i | occ_<i), occ in {00, a, b, ab}.
+Per shell there is an amplitude head (masked log-softmax over 4 occupations,
+optionally spin-exchange-symmetrized from 5 logits) and a phase head.
+
+TPU-first re-design vs. the reference (src/naqs/network/nade.py:157-777):
+the reference keeps N/2 independent ragged MLPs (shell i has 2i inputs) and
+walks them in a Python loop. Here every shell's input is zero-padded to the
+common width 2(S-1) and all shells evaluate as ONE stacked einsum over
+(batch, shell, features) with per-shell weight tensors — shells are
+independent given the input (NADE, not RNN), so the full conditional table
+for a batch of states is a single fused MXU pass, no sequential loop.
+Zero-padding is exact: padded inputs are 0 (the live values are signed +-1),
+so padded weights never contribute.
+
+Semantics preserved from the reference:
+  * spin-exchange symmetry: canonical ordering of (alpha, beta) substrings
+    and 5-logit symmetrization (nade.py:503-594),
+  * hard electron-number masks over the 4 occupations (nade.py:417-501),
+    with multi-sector (open-shell) union masks,
+  * masking modes none/partial/full (partial leaves the last shell
+    unmasked; nade.py:612-630),
+  * phase modes: per-shell aggregated phases or one global phase net on the
+    final shell (nade.py:556-567), optional phase spin symmetry with the
+    pi * (N_01 mod 2) exchange phase shift (nade.py:597-610),
+  * shell ordering permutations (wavefunction.py:369-383; default reversed).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Literal, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from naqs_tpu.utils.bits import unpack_bits
+
+BIG_NEG = jnp.float32(-1e9)  # masked-logit value; exp(x/2) underflows to 0
+
+
+# --------------------------------------------------------------------- config
+
+@dataclass(frozen=True)
+class NAQSConfig:
+    """Static model configuration (hashable; safe as a jit static arg)."""
+
+    n_qubits: int
+    sectors: Tuple[Tuple[int, int], ...]
+    masking: Literal["none", "partial", "full"] = "partial"
+    amp_hidden: Tuple[int, ...] = (64,)
+    phase_hidden: Tuple[int, ...] = (512, 512)
+    use_amp_spin_sym: bool = True
+    use_phase_spin_sym: bool = False
+    aggregate_phase: bool = False  # False -> one global phase net (production)
+    shell_order: Tuple[int, ...] = ()  # model shell j <- state shell order[j]
+    param_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.n_qubits % 2:
+            raise ValueError("n_qubits must be even (orbital shells)")
+        if not self.shell_order:
+            # reference default: reversed qubit ordering (wavefunction.py:372-378)
+            object.__setattr__(
+                self, "shell_order", tuple(range(self.n_shells - 1, -1, -1))
+            )
+        if sorted(self.shell_order) != list(range(self.n_shells)):
+            raise ValueError("shell_order must be a permutation of shells")
+
+    @property
+    def n_shells(self) -> int:
+        return self.n_qubits // 2
+
+    @property
+    def in_width(self) -> int:
+        return 2 * max(self.n_shells - 1, 1)
+
+    @property
+    def n_amp_out(self) -> int:
+        return 5 if self.use_amp_spin_sym else 4
+
+    @property
+    def n_phase_out(self) -> int:
+        return 3 if self.use_phase_spin_sym else 4
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.param_dtype)
+
+
+# --------------------------------------------------------------------- params
+
+def _init_mlp_stack(key, n_stack, dims, dtype):
+    """Per-shell-stacked dense layers: W (n_stack, d_in, d_out), b (n_stack, d_out)."""
+    layers = []
+    for d_in, d_out in zip(dims[:-1], dims[1:]):
+        key, k1, k2 = jax.random.split(key, 3)
+        bound = 1.0 / math.sqrt(max(d_in, 1))
+        w = jax.random.uniform(k1, (n_stack, d_in, d_out), dtype, -bound, bound)
+        b = jax.random.uniform(k2, (n_stack, d_out), dtype, -bound, bound)
+        layers.append({"w": w, "b": b})
+    return layers
+
+
+def init_params(key, cfg: NAQSConfig) -> dict:
+    s = cfg.n_shells
+    k_amp, k_ph = jax.random.split(key)
+    amp_dims = (cfg.in_width, *cfg.amp_hidden, cfg.n_amp_out)
+    params = {"amp": _init_mlp_stack(k_amp, s, amp_dims, cfg.dtype)}
+    ph_dims = (cfg.in_width, *cfg.phase_hidden, cfg.n_phase_out)
+    n_phase_nets = s if cfg.aggregate_phase else 1
+    params["phase"] = _init_mlp_stack(k_ph, n_phase_nets, ph_dims, cfg.dtype)
+    return params
+
+
+def count_parameters(params) -> int:
+    return int(sum(x.size for x in jax.tree_util.tree_leaves(params)))
+
+
+def _mlp_stack_apply(layers, x):
+    """x: (..., n_stack, d_in) -> (..., n_stack, d_out); ReLU between layers."""
+    n = len(layers)
+    for li, lyr in enumerate(layers):
+        x = jnp.einsum("...si,sio->...so", x, lyr["w"]) + lyr["b"]
+        if li < n - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def _mlp_single_apply(layers, idx, x):
+    """Apply one shell's slice of a stacked MLP. x: (..., d_in)."""
+    n = len(layers)
+    for li, lyr in enumerate(layers):
+        w = lyr["w"][idx] if lyr["w"].shape[0] > 1 else lyr["w"][0]
+        b = lyr["b"][idx] if lyr["b"].shape[0] > 1 else lyr["b"][0]
+        x = x @ w + b
+        if li < n - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+# ------------------------------------------------------------------- features
+
+def split_spins(cfg: NAQSConfig, states: jnp.ndarray):
+    """Packed states -> (alpha, beta) occupation bits (B, S) in MODEL order."""
+    bits = unpack_bits(states, cfg.n_qubits)  # (B, N)
+    order = jnp.asarray(cfg.shell_order, dtype=jnp.int32)
+    alpha = bits[..., 0::2][..., order]
+    beta = bits[..., 1::2][..., order]
+    return alpha, beta
+
+
+def prefix_stats(alpha: jnp.ndarray, beta: jnp.ndarray):
+    """Per-shell prefix statistics (exclusive over shells < j).
+
+    Returns dict with counts (ca, cb), prefix integers (pa, pb) with shell t
+    weighted 2^t, and the 3-way exchange order flag per shell
+    (0: pa > pb -> substrings swapped, 1: equal, 2: pa < pb).
+    """
+    s = alpha.shape[-1]
+    excl = lambda x: jnp.cumsum(x, axis=-1) - x  # exclusive cumsum
+    ca, cb = excl(alpha), excl(beta)
+    w = (jnp.int64(1) << jnp.arange(s, dtype=jnp.int64))
+    pa = excl(alpha.astype(jnp.int64) * w)
+    pb = excl(beta.astype(jnp.int64) * w)
+    order3 = jnp.where(pa > pb, 0, jnp.where(pa == pb, 1, 2)).astype(jnp.int32)
+    return {"ca": ca, "cb": cb, "pa": pa, "pb": pb, "order3": order3}
+
+
+def _signed(bits):
+    return (2 * bits - 1).astype(jnp.float32)
+
+
+def shell_inputs(cfg: NAQSConfig, alpha, beta, canonical: bool):
+    """(B, S, 2(S-1)) padded signed inputs for every shell.
+
+    Slot layout per shell j: [first substring (S-1 slots), second substring].
+    With `canonical`, the lexicographically-smaller spin substring goes first
+    (spin-exchange-invariant input, reference nade.py:519-530).
+    """
+    s = cfg.n_shells
+    causal = (
+        jnp.arange(s - 1)[None, :] < jnp.arange(s)[:, None]
+    )  # (S, S-1): slot t live for shell j iff t < j
+    a_in = _signed(alpha)[..., None, : s - 1] * causal  # (B, S, S-1)
+    b_in = _signed(beta)[..., None, : s - 1] * causal
+    if canonical:
+        st = prefix_stats(alpha, beta)
+        swap = (st["order3"] == 0)[..., None]  # (B, S, 1)
+        first = jnp.where(swap, b_in, a_in)
+        second = jnp.where(swap, a_in, b_in)
+    else:
+        first, second = a_in, b_in
+    return jnp.concatenate([first, second], axis=-1)
+
+
+# A5[order3] maps the 5 raw amp logits onto 4 occupations [00, a, b, ab]
+# (occ index = alpha + 2*beta). Logits: [l00, l_sym01, l11, d1, d2];
+# symmetrized output = (base + gathered)/2 per reference nade.py:576-594.
+_SYM_BASE = np.array([0, 1, 1, 2])
+_SYM_GATHER = np.array([[0, 3, 4, 2], [0, 1, 1, 2], [0, 4, 3, 2]])
+
+
+def symmetrize_amp(logits5: jnp.ndarray, order3: jnp.ndarray) -> jnp.ndarray:
+    """(..., 5) + order flag -> (..., 4) exchange-symmetric amp logits."""
+    base = logits5[..., _SYM_BASE]
+    gath = jnp.take_along_axis(
+        logits5, jnp.asarray(_SYM_GATHER)[order3], axis=-1
+    )
+    return 0.5 * (base + gath)
+
+
+def occupation_mask(cfg: NAQSConfig, ca, cb, j=None):
+    """(..., 4) bool mask of occupations allowed by the electron-number
+    budgets, OR'd over sectors (reference nade.py:417-501).
+
+    ca, cb: prefix up-counts; j: shell index (same shape), for down-budgets.
+    """
+    s = cfg.n_shells
+    if j is None:
+        j = jnp.arange(s, dtype=ca.dtype)
+        j = jnp.broadcast_to(j, ca.shape)
+    da, db = j - ca, j - cb  # prefix down-counts
+    mask = jnp.zeros((*ca.shape, 4), dtype=bool)
+    for (na, nb) in cfg.sectors:
+        ok = (ca <= na) & (da <= s - na) & (cb <= nb) & (db <= s - nb)
+        a1 = ca < na
+        a0 = da < s - na
+        b1 = cb < nb
+        b0 = db < s - nb
+        m = jnp.stack([a0 & b0, a1 & b0, a0 & b1, a1 & b1], axis=-1)
+        mask = mask | (m & ok[..., None])
+    return mask
+
+
+def masked_log_softmax_half(logits4: jnp.ndarray, mask) -> jnp.ndarray:
+    """0.5 * log_softmax(2x) with -inf-style masking (SoftmaxLogProbAmps,
+    reference activations.py:40-46). Returns masked log-amplitudes."""
+    z = 2.0 * logits4
+    if mask is not None:
+        z = jnp.where(mask, z, BIG_NEG)
+    return 0.5 * jax.nn.log_softmax(z, axis=-1)
+
+
+# ------------------------------------------------------------------- predict
+
+def _amp_tables(cfg: NAQSConfig, params, alpha, beta, st):
+    x = shell_inputs(cfg, alpha, beta, canonical=cfg.use_amp_spin_sym)
+    raw = _mlp_stack_apply(params["amp"], x)  # (B, S, 5|4)
+    if cfg.use_amp_spin_sym:
+        logits4 = symmetrize_amp(raw, st["order3"])
+    else:
+        logits4 = raw
+    s = cfg.n_shells
+    if cfg.masking == "none":
+        mask = None
+        log_amp = masked_log_softmax_half(logits4, None)
+    else:
+        mask = occupation_mask(cfg, st["ca"], st["cb"])
+        if cfg.masking == "partial":
+            # last shell unmasked (reference nade.py:615-616)
+            mask = mask.at[..., s - 1, :].set(True)
+        log_amp = masked_log_softmax_half(logits4, mask)
+    return log_amp, mask
+
+
+def _phase_tables(cfg: NAQSConfig, params, alpha, beta, st):
+    """(B, S, 4) per-shell phase tables (zeros for silent shells)."""
+    s = cfg.n_shells
+    x = shell_inputs(cfg, alpha, beta, canonical=cfg.use_phase_spin_sym)
+    if cfg.aggregate_phase:
+        raw = _mlp_stack_apply(params["phase"], x)  # (B, S, 3|4)
+    else:
+        # one global net evaluated on the final shell's input
+        raw_last = _mlp_single_apply(params["phase"], 0, x[..., s - 1, :])
+        raw = jnp.zeros((*x.shape[:-1], raw_last.shape[-1]), raw_last.dtype)
+        raw = raw.at[..., s - 1, :].set(raw_last)
+    if cfg.use_phase_spin_sym:
+        phase4 = raw[..., jnp.asarray([0, 1, 1, 2])]
+        # exchange phase shift pi*(N01 mod 2) on the canonical-swapped partner
+        # (reference nade.py:597-610), applied at the last shell.
+        full_pa = st["pa"][..., s - 1] + alpha[..., s - 1].astype(jnp.int64) * (1 << (s - 1))
+        full_pb = st["pb"][..., s - 1] + beta[..., s - 1].astype(jnp.int64) * (1 << (s - 1))
+        n01 = jnp.sum((alpha == 0) & (beta == 1), axis=-1)
+        shift = jnp.where(full_pa < full_pb, jnp.pi * (n01 % 2), 0.0)
+        phase4 = phase4.at[..., s - 1, :].add(shift[..., None])
+    else:
+        phase4 = raw
+    return phase4
+
+
+def shell_tables(cfg: NAQSConfig, params, states: jnp.ndarray):
+    """Full conditional tables for packed states.
+
+    Returns (log_amp, phase): each (B, S, 4) in MODEL shell order.
+    Mirrors the reference predict output [batch, shell, occ, (amp, phase)]
+    (nade.py:738-770).
+    """
+    alpha, beta = split_spins(cfg, states)
+    st = prefix_stats(alpha, beta)
+    log_amp, _ = _amp_tables(cfg, params, alpha, beta, st)
+    phase = _phase_tables(cfg, params, alpha, beta, st)
+    return log_amp, phase
+
+
+def log_psi(cfg: NAQSConfig, params, states: jnp.ndarray):
+    """log|psi| and arg(psi) for packed states: gather realized occupations
+    and sum over shells (reference wavefunction.py:148-183)."""
+    alpha, beta = split_spins(cfg, states)
+    st = prefix_stats(alpha, beta)
+    log_amp4, _ = _amp_tables(cfg, params, alpha, beta, st)
+    phase4 = _phase_tables(cfg, params, alpha, beta, st)
+    occ = (alpha + 2 * beta).astype(jnp.int32)[..., None]  # (B, S, 1)
+    la = jnp.take_along_axis(log_amp4, occ, axis=-1)[..., 0]
+    ph = jnp.take_along_axis(phase4, occ, axis=-1)[..., 0]
+    return jnp.sum(la, axis=-1), jnp.sum(ph, axis=-1)
+
+
+# ------------------------------------------------ sampler-facing single shell
+
+def amp_conditional_shell(cfg: NAQSConfig, params, j, alpha, beta):
+    """Masked amp table for ONE shell index j (traced) over a frontier.
+
+    alpha, beta: (U, S) prefix occupation bits (entries at shells >= j must
+    be 0). Returns (log_amp4, mask4, probs4): (U, 4) each.
+    """
+    s = cfg.n_shells
+    causal = jnp.arange(s - 1) < j  # (S-1,)
+    a_in = _signed(alpha)[..., : s - 1] * causal
+    b_in = _signed(beta)[..., : s - 1] * causal
+    w = (jnp.int64(1) << jnp.arange(s, dtype=jnp.int64)) * (jnp.arange(s) < j)
+    pa = jnp.sum(alpha.astype(jnp.int64) * w, axis=-1)
+    pb = jnp.sum(beta.astype(jnp.int64) * w, axis=-1)
+    order3 = jnp.where(pa > pb, 0, jnp.where(pa == pb, 1, 2)).astype(jnp.int32)
+
+    if cfg.use_amp_spin_sym:
+        swap = (order3 == 0)[..., None]
+        x = jnp.concatenate(
+            [jnp.where(swap, b_in, a_in), jnp.where(swap, a_in, b_in)], axis=-1
+        )
+    else:
+        x = jnp.concatenate([a_in, b_in], axis=-1)
+    raw = _mlp_single_apply(params["amp"], j, x)
+    logits4 = symmetrize_amp(raw, order3) if cfg.use_amp_spin_sym else raw
+
+    ca = jnp.sum(alpha * (jnp.arange(s) < j), axis=-1)
+    cb = jnp.sum(beta * (jnp.arange(s) < j), axis=-1)
+    mask = occupation_mask(cfg, ca, cb, j=jnp.broadcast_to(j, ca.shape))
+
+    if cfg.masking == "none":
+        log_amp = masked_log_softmax_half(logits4, None)
+    elif cfg.masking == "partial":
+        # mask except at the last shell — j is traced, so select at runtime
+        m = jnp.where(j == s - 1, jnp.ones_like(mask), mask)
+        log_amp = masked_log_softmax_half(logits4, m)
+    else:
+        log_amp = masked_log_softmax_half(logits4, mask)
+
+    probs = jnp.exp(2.0 * log_amp)
+    return log_amp, mask, probs
