@@ -102,7 +102,9 @@ def _local_energy_chunk(
     pos = jnp.searchsorted(states, coupled)
     pos_c = jnp.minimum(pos, states.shape[0] - 1)
     found = (states[pos_c] == coupled) & (pos < n_valid)
-    dlog = log_amp[pos_c] - my_log_amp[:, None]
+    # clip the log-ratio: psi'/psi beyond e^30 only occurs for states with
+    # negligible sampling weight, and unclipped it overflows f32.
+    dlog = jnp.clip(log_amp[pos_c] - my_log_amp[:, None], -30.0, 30.0)
     dph = phase[pos_c] - my_phase[:, None]
     mag = jnp.where(found, jnp.exp(dlog), 0.0).astype(jnp.float32)
     r_re = mag * jnp.cos(dph).astype(jnp.float32)
@@ -153,6 +155,86 @@ def local_energy(
         ),
     )
     return e_re.reshape(-1)[:u], e_im.reshape(-1)[:u]
+
+
+def _quadratic_energy_chunk(
+    dt: DeviceTerms,
+    s: jnp.ndarray,
+    states: jnp.ndarray,
+    log_amp: jnp.ndarray,   # (U,) f32, already shifted so max == 0
+    phase: jnp.ndarray,
+    my_log_amp: jnp.ndarray,
+    my_phase: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    my_live: jnp.ndarray,   # (C,) bool
+):
+    """sum_{m in chunk, k} psi_m H_{mk} psi_k, in the symmetric product form
+    exp(la_m + la_k) * cos/sin(ph_k - ph_m): every factor <= 1, so this is
+    overflow-free for arbitrary amplitude dynamic range (unlike ratios)."""
+    w_m = jnp.where(my_live, jnp.exp(2.0 * my_log_amp.astype(jnp.float64)), 0.0)
+    e_diag = diagonal_energy(dt, s)
+    num_diag = jnp.sum(w_m * e_diag)
+
+    coupled = s[:, None] ^ dt.xy_unique[None, :]
+    pos = jnp.searchsorted(states, coupled)
+    pos_c = jnp.minimum(pos, states.shape[0] - 1)
+    found = (states[pos_c] == coupled) & (pos < n_valid) & my_live[:, None]
+    amp_prod = jnp.where(
+        found, jnp.exp(log_amp[pos_c] + my_log_amp[:, None]), 0.0
+    ).astype(jnp.float32)
+    dph = phase[pos_c] - my_phase[:, None]
+    r_re = amp_prod * jnp.cos(dph).astype(jnp.float32)
+
+    par = parity_pm1(s[:, None] & dt.yz_unique[None, :]).astype(jnp.float32)
+    pg = par[:, dt.gyz]
+    num_off = jnp.einsum("ck,k->c", pg * r_re[:, dt.gxy], dt.coeff)
+    return num_diag + jnp.sum(num_off.astype(jnp.float64)), jnp.sum(w_m)
+
+
+@partial(jax.jit, static_argnames=("chunk_rows",))
+def quadratic_energy(
+    dt: DeviceTerms,
+    states: jnp.ndarray,
+    log_amp: jnp.ndarray,
+    phase: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    chunk_rows: int | None = None,
+):
+    """Exact <psi|H|psi> / <psi|psi> over a sorted state buffer.
+
+    Overflow-safe for arbitrary (even untrained) amplitude ranges; use this
+    for the exact-energy evaluation metric. The imaginary part cancels by
+    Hermiticity and is not computed.
+    """
+    u = states.shape[0]
+    live = jnp.arange(u) < n_valid
+    la = jnp.where(live, log_amp, -jnp.inf)
+    ref = jnp.max(la)
+    la = jnp.where(live, log_amp - ref, -100.0)
+
+    c = chunk_rows or _chunk_rows(int(dt.gxy.shape[0]))
+    c = min(c, u)
+    n_chunks = -(-u // c)
+    pad = n_chunks * c - u
+    s_p = jnp.pad(states, (0, pad), constant_values=np.uint64(2**64 - 1))
+    la_p = jnp.pad(la, (0, pad), constant_values=-100.0)
+    ph_p = jnp.pad(phase, (0, pad))
+    live_p = jnp.pad(live, (0, pad))
+
+    def body(args):
+        s, l, p, lv = args
+        return _quadratic_energy_chunk(dt, s, states, la, phase, l, p, n_valid, lv)
+
+    num, den = jax.lax.map(
+        body,
+        (
+            s_p.reshape(n_chunks, c),
+            la_p.reshape(n_chunks, c),
+            ph_p.reshape(n_chunks, c),
+            live_p.reshape(n_chunks, c),
+        ),
+    )
+    return jnp.sum(num) / jnp.sum(den)
 
 
 @partial(jax.jit, static_argnames=("chunk_rows",))

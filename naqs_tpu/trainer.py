@@ -1,0 +1,426 @@
+"""VMC training: surrogate loss, optimizer stack, adaptive sample controller.
+
+Re-implements the reference optimizer layer (src/optimizer/energy.py:43-1056)
+as two jitted device functions (sample, update) orchestrated by a thin host
+controller:
+
+  * surrogate loss 2 * sum_s w_s [log|psi| * Re(dE) + arg(psi) * Im(dE)]
+    with dE = E_loc - <E_loc> stop-gradded (energy.py:328-329),
+  * count-based or |psi|^2 sample weighting (energy.py:989-993),
+  * optax Adam (betas 0.9/0.99, eps 1e-15) + two-phase LR schedule
+    (experiments/_base.py:228,309-320),
+  * adaptive trailing-mean gradient clipping (energy.py:383-395) as an
+    optax transform (off by default, matching production),
+  * the adaptive sample-count controller: x10 when too few unique samples,
+    /10 on too many or capacity overflow (energy.py:936-971),
+  * exact-energy evaluation over the full restricted basis, sampled-subspace
+    FCI refinement (solve_H, energy.py:762-786), pre-flatten / pre-train
+    warm starts (energy.py:788-900).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from naqs_tpu.hamiltonian import PauliTerms, assemble_sparse_hamiltonian_np
+from naqs_tpu.models.nade import NAQSConfig, init_params, log_psi
+from naqs_tpu.ops.local_energy import DeviceTerms, local_energy, quadratic_energy
+from naqs_tpu.sampler import SampleBatch, sample
+from naqs_tpu.utils.hilbert import Hilbert
+
+
+# ------------------------------------------------------------ optax transform
+
+def adaptive_trailing_clip(factor: float, memory: int = 50, init_max: float = 1e3):
+    """Clip global grad norm to `factor` x trailing mean of past clipped norms.
+
+    Port of the reference's deque-based clipper (energy.py:383-395).
+    """
+
+    def init_fn(params):
+        del params
+        return {
+            "norms": jnp.zeros((memory,), jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates).astype(jnp.float32)
+        have = jnp.minimum(state["count"], memory)
+        mean = jnp.where(
+            have > 0, jnp.sum(state["norms"]) / jnp.maximum(have, 1), init_max / factor
+        )
+        max_norm = factor * mean
+        scale = jnp.where(norm > max_norm, max_norm / (norm + 1e-12), 1.0)
+        updates = jax.tree_util.tree_map(lambda g: g * scale, updates)
+        slot = state["count"] % memory
+        norms = state["norms"].at[slot].set(jnp.minimum(norm, max_norm))
+        return updates, {"norms": norms, "count": state["count"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    n_train: int = 5000
+    lr: float = 1e-3
+    lr_final: float = 5e-4          # second-phase LR (reference default schedule)
+    use_lr_schedule: bool = True
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99
+    adam_eps: float = 1e-15
+    grad_clip_factor: Optional[float] = None
+    grad_clip_memory: int = 50
+    n_samples: float = 1e6
+    n_samples_max: float = 1e12
+    n_unq_samples_min: int = 1000
+    n_unq_samples_max: int = 4096   # also the device buffer capacity
+    reweight_by_psi: bool = False
+    seed: int = 0
+
+    def make_optimizer(self) -> optax.GradientTransformation:
+        if self.use_lr_schedule:
+            half = max(self.n_train // 2, 1)
+            sched = optax.join_schedules(
+                [optax.constant_schedule(self.lr), optax.constant_schedule(self.lr_final)],
+                boundaries=[half],
+            )
+        else:
+            sched = self.lr
+        chain = []
+        if self.grad_clip_factor is not None:
+            chain.append(
+                adaptive_trailing_clip(self.grad_clip_factor, self.grad_clip_memory)
+            )
+        chain.append(
+            optax.adam(sched, b1=self.adam_b1, b2=self.adam_b2, eps=self.adam_eps)
+        )
+        return optax.chain(*chain)
+
+
+# ------------------------------------------------------------- device kernels
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "reweight_by_psi"))
+def vmc_update(
+    cfg: NAQSConfig,
+    optimizer,
+    params,
+    opt_state,
+    dt: DeviceTerms,
+    batch: SampleBatch,
+    reweight_by_psi: bool = False,
+):
+    """One SGD step on a sampled batch. Returns (params, opt_state, metrics)."""
+    live = jnp.arange(batch.states.shape[0]) < batch.n_unique
+
+    def loss_fn(p):
+        la, ph = log_psi(cfg, p, batch.states)
+        la_d, ph_d = jax.lax.stop_gradient((la, ph))
+        if reweight_by_psi:
+            w = jnp.where(live, jnp.exp(2.0 * la_d.astype(jnp.float64)), 0.0)
+        else:
+            w = jnp.where(live, batch.counts, 0.0)
+        w = w / jnp.sum(w)
+        e_re, e_im = local_energy(dt, batch.states, la_d, ph_d, batch.n_unique)
+        e_re = jnp.where(live, e_re, 0.0)
+        e_im = jnp.where(live, e_im, 0.0)
+        e_mean = jnp.sum(w * e_re)
+        e_mean_im = jnp.sum(w * e_im)
+        e_var = jnp.sum(w * (e_re - e_mean) ** 2)
+        d_re = jax.lax.stop_gradient(e_re - e_mean).astype(jnp.float32)
+        d_im = jax.lax.stop_gradient(e_im - e_mean_im).astype(jnp.float32)
+        wf = w.astype(jnp.float32)
+        loss = 2.0 * jnp.sum(wf * (la * d_re + ph * d_im))
+        return loss, (e_mean, e_var)
+
+    (loss, (e_mean, e_var)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    metrics = {
+        "e_loc": e_mean,
+        "e_loc_var": e_var,
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+    }
+    return params, opt_state, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def exact_energy(cfg: NAQSConfig, params, dt: DeviceTerms, basis: jnp.ndarray):
+    """Exact <psi|H|psi>/<psi|psi> over the full restricted basis
+    (reference calculate_energy, energy.py:189-217). Uses the symmetric
+    quadratic form, overflow-safe for untrained amplitude ranges."""
+    la, ph = log_psi(cfg, params, basis)
+    return quadratic_energy(dt, basis, la, ph, jnp.int32(basis.shape[0]))
+
+
+def make_pre_flatten_step(cfg: NAQSConfig, optimizer):
+    """MSE of log-amplitudes to log(1/sqrt(|basis|)) (pre_flatten,
+    energy.py:840-900). Returns a jitted (params, opt, states, target)->... fn."""
+
+    @jax.jit
+    def step(params, opt_state, states, target):
+        def loss_fn(p):
+            la, _ = log_psi(cfg, p, states)
+            return jnp.mean((la - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def make_pre_train_step(cfg: NAQSConfig, optimizer):
+    """Binary-cross-entropy of amplitudes to targets on given states
+    (pre_train towards e.g. the HF state; energy.py:788-838)."""
+
+    @jax.jit
+    def step(params, opt_state, states, target_amp):
+        def loss_fn(p):
+            la, _ = log_psi(cfg, p, states)
+            amp = jnp.clip(jnp.exp(la), 1e-7, 1 - 1e-7)
+            bce = -(target_amp * jnp.log(amp) + (1 - target_amp) * jnp.log1p(-amp))
+            return jnp.mean(bce)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+# --------------------------------------------------------------- host control
+
+class VMCTrainer:
+    """Host-side training controller (reference PartialSamplingOptimizer.run,
+    energy.py:902-1056): drives the jitted sample/update kernels, adapts the
+    sample count, logs metrics, checkpoints."""
+
+    def __init__(
+        self,
+        model_cfg: NAQSConfig,
+        terms: PauliTerms,
+        hilbert: Hilbert,
+        train_cfg: TrainConfig = TrainConfig(),
+        save_loc: Optional[str] = None,
+    ):
+        self.cfg = model_cfg
+        self.tc = train_cfg
+        self.hilbert = hilbert
+        self.terms = terms
+        self.dt = DeviceTerms.from_terms(terms)
+        self.optimizer = train_cfg.make_optimizer()
+        self.key = jax.random.key(train_cfg.seed)
+        self.key, k0 = jax.random.split(self.key)
+        self.params = init_params(k0, model_cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.n_samples = float(train_cfg.n_samples)
+        self.capacity = int(train_cfg.n_unq_samples_max)
+        self.n_steps = 0
+        self.run_time = 0.0
+        self.save_loc = save_loc
+        self.log = {
+            "E": [], "E_LOC": [], "E_LOC_VAR": [], "N_UNIQUE_SAMP": [], "TIME": [],
+        }
+        self.sampled_states = set()
+
+    # -- sampling with the reference's adaptive batch-size controller
+    def get_samples(self, max_retries: int = 12) -> SampleBatch:
+        last_action = 0
+        for _ in range(max_retries):
+            self.key, k = jax.random.split(self.key)
+            batch = sample(
+                self.cfg, self.params, k, jnp.float64(self.n_samples), self.capacity
+            )
+            overflow = bool(batch.overflow)
+            n_unq = int(batch.n_unique) if not overflow else self.capacity + 1
+            action = -1 if overflow else 0
+            at_min = self.n_samples <= self.tc.n_unq_samples_min
+            at_max = self.n_samples >= self.tc.n_samples_max
+            if (not at_min and not at_max) or overflow:
+                if n_unq < self.tc.n_unq_samples_min and last_action >= 0 and not overflow:
+                    action = 1
+                    self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
+                elif (n_unq > self.tc.n_unq_samples_max and last_action <= 0) or overflow:
+                    action = -1
+                    self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
+            if action == 0:
+                return batch
+            last_action = action
+        raise RuntimeError(
+            "sample-count controller did not converge: capacity "
+            f"{self.capacity} too small for this wavefunction's support?"
+        )
+
+    def step(self) -> dict:
+        t0 = time.time()
+        batch = self.get_samples()
+        self.params, self.opt_state, metrics = vmc_update(
+            self.cfg,
+            self.optimizer,
+            self.params,
+            self.opt_state,
+            self.dt,
+            batch,
+            self.tc.reweight_by_psi,
+        )
+        self.n_steps += 1
+        dt_step = time.time() - t0
+        self.run_time += dt_step
+        out = {
+            "e_loc": float(metrics["e_loc"]),
+            "e_loc_var": float(metrics["e_loc_var"]),
+            "n_unique": int(batch.n_unique),
+            "n_samples": self.n_samples,
+            "time": dt_step,
+        }
+        self.log["E_LOC"].append((self.n_steps, out["e_loc"]))
+        self.log["E_LOC_VAR"].append((self.n_steps, out["e_loc_var"]))
+        self.log["N_UNIQUE_SAMP"].append((self.n_steps, out["n_unique"]))
+        self.log["TIME"].append((self.n_steps, self.run_time))
+        return out
+
+    def run(self, n_epochs: int, output_freq: int = 25, log_exact_energy: bool = False,
+            save_freq: Optional[int] = None, callback=None):
+        for i in range(n_epochs):
+            out = self.step()
+            if (self.n_steps % output_freq == 0) or self.n_steps == 1:
+                if log_exact_energy:
+                    e = float(
+                        exact_energy(self.cfg, self.params, self.dt,
+                                     jnp.asarray(self.hilbert.basis))
+                    )
+                    self.log["E"].append((self.n_steps, e))
+                    out["e_exact"] = e
+                recent = [v for _, v in self.log["E_LOC"][-output_freq:]]
+                print(
+                    f"step {self.n_steps}: <E_loc>={np.mean(recent):.6f} "
+                    f"+/- {np.std(recent):.6f}, var={out['e_loc_var']:.6f}, "
+                    f"unq={out['n_unique']}, n_samp={out['n_samples']:.2e}, "
+                    f"E={out.get('e_exact', float('nan')):.6f}, "
+                    f"t={out['time']*1000:.0f}ms",
+                    flush=True,
+                )
+            if save_freq and self.save_loc and self.n_steps % save_freq == 0:
+                self.save()
+            if callback is not None:
+                callback(self, out)
+        return self
+
+    # -- warm starts
+    def pre_flatten(self, n_epochs: int, lr: float = 1e-3, batch_size: int = 2**17):
+        basis = self.hilbert.basis
+        target = float(math.log(1.0 / math.sqrt(len(basis))))
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+        step = make_pre_flatten_step(self.cfg, opt)
+        n = len(basis)
+        bs = min(batch_size, n)
+        n_batches = -(-n // bs)
+        pad = n_batches * bs - n
+        basis_p = np.concatenate([basis, basis[:pad]]) if pad else basis
+        tgt = jnp.full((bs,), target, dtype=jnp.float32)
+        rng = np.random.default_rng(self.tc.seed)
+        for _ in range(n_epochs):
+            perm = rng.permutation(len(basis_p))
+            for b in range(n_batches):
+                sl = jnp.asarray(basis_p[perm[b * bs:(b + 1) * bs]])
+                self.params, opt_state, loss = step(self.params, opt_state, sl, tgt)
+        return self
+
+    def pre_train_hf(self, n_epochs: int, lr: float = 5e-3):
+        """BCE pre-training towards the Hartree-Fock state (pre_train with
+        default target; energy.py:799-801)."""
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+        step = make_pre_train_step(self.cfg, opt)
+        states = jnp.asarray(np.array([self.hilbert.hf_state()], dtype=np.uint64))
+        target = jnp.ones((1,), dtype=jnp.float32)
+        for _ in range(n_epochs):
+            self.params, opt_state, loss = step(self.params, opt_state, states, target)
+        return self
+
+    # -- evaluation
+    def exact_energy(self) -> float:
+        return float(
+            exact_energy(self.cfg, self.params, self.dt, jnp.asarray(self.hilbert.basis))
+        )
+
+    def solve_h(self, n_samps: Optional[float] = None, k_max: int = 10000):
+        """Diagonalize H restricted to the most-sampled states ("VMC+FCI",
+        energy.py:762-786). Returns (energy, n_unique_used)."""
+        from scipy.sparse.linalg import eigsh
+
+        self.key, k = jax.random.split(self.key)
+        batch = sample(
+            self.cfg, self.params, k,
+            jnp.float64(n_samps or self.n_samples), self.capacity,
+        )
+        nu = int(batch.n_unique)
+        states = np.asarray(batch.states[:nu])
+        counts = np.asarray(batch.counts[:nu])
+        if nu > k_max:
+            top = np.argsort(counts)[-k_max:]
+            states = np.sort(states[top])
+        H = assemble_sparse_hamiltonian_np(self.terms, states)
+        if H.shape[0] < 3:
+            w = np.linalg.eigvalsh(H.toarray())
+            return float(w[0]), nu
+        w = eigsh(H, k=1, which="SA")[0]
+        return float(w[0]), nu
+
+    # -- checkpointing
+    def save(self, fname: str = "checkpoint"):
+        from flax import serialization
+
+        assert self.save_loc, "save_loc not set"
+        os.makedirs(self.save_loc, exist_ok=True)
+        path = os.path.join(self.save_loc, f"{fname}.msgpack")
+        blob = serialization.to_bytes(
+            {"params": self.params, "opt_state": self.opt_state}
+        )
+        with open(path, "wb") as f:
+            f.write(blob)
+        meta = {
+            "n_steps": self.n_steps,
+            "run_time": self.run_time,
+            "n_samples": self.n_samples,
+            "log": {k: v for k, v in self.log.items()},
+        }
+        with open(os.path.join(self.save_loc, f"{fname}.json"), "w") as f:
+            json.dump(meta, f)
+        return path
+
+    def load(self, fname: str = "checkpoint"):
+        from flax import serialization
+
+        path = os.path.join(self.save_loc, f"{fname}.msgpack")
+        with open(path, "rb") as f:
+            blob = f.read()
+        restored = serialization.from_bytes(
+            {"params": self.params, "opt_state": self.opt_state}, blob
+        )
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        meta_path = os.path.join(self.save_loc, f"{fname}.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.n_steps = meta["n_steps"]
+            self.run_time = meta["run_time"]
+            self.n_samples = meta["n_samples"]
+            self.log = {k: [tuple(x) for x in v] for k, v in meta["log"].items()}
+        return self

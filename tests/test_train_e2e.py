@@ -1,0 +1,59 @@
+"""End-to-end VMC training gates (reference test strategy, SURVEY.md section 4).
+
+H2 must reach chemical accuracy (E - E_FCI < 1.6e-3 Ha) in a short fixed
+budget; the VMC+FCI refinement must match as well.
+"""
+
+import numpy as np
+import pytest
+
+import naqs_tpu as nq
+from naqs_tpu.models.nade import NAQSConfig
+from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+CHEM_ACC = 1.6e-3
+
+
+@pytest.fixture(scope="module")
+def h2_trained():
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(32,), phase_hidden=(32,), masking="partial",
+    )
+    tc = TrainConfig(
+        n_train=400, n_samples=1e5, n_samples_max=1e7,
+        n_unq_samples_min=4, n_unq_samples_max=16, seed=1,
+    )
+    tr = VMCTrainer(cfg, terms, h, tc)
+    tr.pre_flatten(50)
+    tr.run(400, output_freq=1000)
+    return mol, tr
+
+
+def test_h2_chemical_accuracy(h2_trained):
+    mol, tr = h2_trained
+    e = tr.exact_energy()
+    assert e - mol.fci_energy < CHEM_ACC, (e, mol.fci_energy)
+    assert e > mol.fci_energy - 1e-6  # variational bound
+
+
+def test_h2_solve_h_refinement(h2_trained):
+    mol, tr = h2_trained
+    e, n_unq = tr.solve_h(n_samps=1e5)
+    assert abs(e - mol.fci_energy) < 1e-6  # full support sampled -> exact FCI
+    assert n_unq <= 4
+
+
+def test_checkpoint_roundtrip(tmp_path, h2_trained):
+    mol, tr = h2_trained
+    tr.save_loc = str(tmp_path)
+    tr.save()
+    e_before = tr.exact_energy()
+    import jax
+
+    tr.params = jax.tree_util.tree_map(lambda x: x * 0.0, tr.params)
+    tr.load()
+    assert abs(tr.exact_energy() - e_before) < 1e-9
