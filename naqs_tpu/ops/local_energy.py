@@ -5,14 +5,23 @@ CSR Hamiltonian + Cython sparse mat-vec (reference: src/optimizer/
 hamiltonian.py:272-370, src_cpp/sparse_math.pyx:49, src_cpp/
 hamiltonian_math.pyx:200). No sparse matrix is ever materialized: coupled
 states are `s XOR flip_mask`, signs are popcount parities, and psi(s') is a
-binary-search membership lookup into the sorted sampled set (psi = 0 for
-unsampled states — same truncation semantics as the reference,
-energy.py:247-248).
+membership lookup into the sorted sampled set (psi = 0 for unsampled states —
+same truncation semantics as the reference, energy.py:247-248).
 
-Precision design: the diagonal (which carries ~|E| ~ 1e2-1e3 Ha and large
-cancellations over Z-string terms) accumulates in f64 on the VPU; the
-off-diagonal part (~0.1 Ha of correlation physics with small per-term
-magnitudes) runs in f32. Final expectation reductions are f64.
+TPU-specific design (measured on v5e; see git history for the profile):
+  * lookups use sort-based searchsorted (`method='sort'`): one fused device
+    sort of queries+table instead of a binary search whose per-level random
+    gathers are ~3000x slower on TPU;
+  * the table is gathered ONCE as a packed int32 record [key_lo, key_hi,
+    la_bits, ph_bits] — int32, not f32, because f32-bitcast keys get NaN-
+    canonicalized in transit, corrupting them;
+  * the per-term sign/coefficient accumulation is a single MXU matmul
+    H = P @ A with P in {+-1}^(M x Kyz) and A[gyz[k], gxy[k]] += coeff[k],
+    at Precision.HIGHEST (default bf16 passes cost ~1e-3 Ha errors);
+    for very large Hamiltonians where dense A would blow HBM, a per-term
+    gather fallback keeps memory O(K);
+  * the diagonal (|E| ~ 1e2-1e3 Ha, heavy cancellation) accumulates in f64
+    on the VPU; the off-diagonal correlation part runs in f32.
 
 All shapes are static: states arrive in a fixed-capacity buffer, sorted
 ascending, padded with SENTINEL (all-ones) beyond `n_valid`.
@@ -33,7 +42,9 @@ from naqs_tpu.hamiltonian import PauliTerms
 from naqs_tpu.utils.bits import parity_pm1
 
 # target elements per (chunk x term) intermediate; bounds peak memory
-_CHUNK_BUDGET = 1 << 24
+_CHUNK_BUDGET = 1 << 25
+# above this many dense A entries, fall back to the per-term gather path
+_DENSE_A_MAX = 1 << 26
 
 
 @jax.tree_util.register_pytree_node_class
@@ -48,11 +59,12 @@ class DeviceTerms:
     gxy: jnp.ndarray         # (K,) int32
     gyz: jnp.ndarray         # (K,) int32
     coeff: jnp.ndarray       # (K,) float32
+    a_mat: jnp.ndarray | None  # (Kyz, Kxy) f32 dense coupling matrix, or None
 
     def tree_flatten(self):
         return (
             (self.diag_yz, self.diag_coeff, self.xy_unique, self.yz_unique,
-             self.gxy, self.gyz, self.coeff),
+             self.gxy, self.gyz, self.coeff, self.a_mat),
             None,
         )
 
@@ -61,7 +73,15 @@ class DeviceTerms:
         return cls(*leaves)
 
     @staticmethod
-    def from_terms(terms: PauliTerms) -> "DeviceTerms":
+    def from_terms(terms: PauliTerms, dense_a: bool | None = None) -> "DeviceTerms":
+        kyz, kxy = len(terms.yz_unique), len(terms.xy_unique)
+        if dense_a is None:
+            dense_a = kyz * kxy <= _DENSE_A_MAX
+        a_mat = None
+        if dense_a:
+            a = np.zeros((kyz, kxy), dtype=np.float32)
+            np.add.at(a, (terms.gyz, terms.gxy), terms.coeff)
+            a_mat = jnp.asarray(a)
         return DeviceTerms(
             diag_yz=jnp.asarray(terms.diag_yz, dtype=jnp.uint64),
             diag_coeff=jnp.asarray(terms.diag_coeff, dtype=jnp.float64),
@@ -70,11 +90,12 @@ class DeviceTerms:
             gxy=jnp.asarray(terms.gxy, dtype=jnp.int32),
             gyz=jnp.asarray(terms.gyz, dtype=jnp.int32),
             coeff=jnp.asarray(terms.coeff, dtype=jnp.float32),
+            a_mat=a_mat,
         )
 
 
-def _chunk_rows(n_terms: int) -> int:
-    c = max(64, _CHUNK_BUDGET // max(n_terms, 1))
+def _chunk_rows(n_xy: int, n_yz: int) -> int:
+    c = max(64, _CHUNK_BUDGET // max(6 * n_xy + n_yz, 1))
     return 1 << int(math.floor(math.log2(c)))
 
 
@@ -84,41 +105,76 @@ def diagonal_energy(dt: DeviceTerms, states: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(par * dt.diag_coeff, axis=-1)
 
 
+def pack_table(states: jnp.ndarray, log_amp: jnp.ndarray, phase: jnp.ndarray):
+    """(U, 4) int32 lookup records [key_lo, key_hi, la_bits, ph_bits]."""
+    n = states.shape[0]
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(states, jnp.int32).reshape(n, 2),
+            jax.lax.bitcast_convert_type(log_amp.astype(jnp.float32), jnp.int32)[:, None],
+            jax.lax.bitcast_convert_type(phase.astype(jnp.float32), jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _lookup(states, rec, n_valid, queries):
+    """Membership lookup. Returns (found, la', ph') for each query."""
+    n = states.shape[0]
+    pos = jnp.searchsorted(states, queries.ravel(), method="sort").reshape(
+        queries.shape
+    )
+    found_n = pos < n_valid
+    pos = jnp.minimum(pos, n - 1)
+    g = rec[pos]
+    key = jax.lax.bitcast_convert_type(g[..., 0:2], jnp.uint64)
+    found = (key == queries) & found_n
+    g_la = jax.lax.bitcast_convert_type(g[..., 2], jnp.float32)
+    g_ph = jax.lax.bitcast_convert_type(g[..., 3], jnp.float32)
+    return found, g_la, g_ph
+
+
+def _offdiag_h(dt: DeviceTerms, s: jnp.ndarray) -> jnp.ndarray:
+    """(C, Kxy) f32 off-diagonal H row entries for chunk states s."""
+    par = parity_pm1(s[:, None] & dt.yz_unique[None, :]).astype(jnp.float32)
+    if dt.a_mat is not None:
+        return jnp.dot(
+            par, dt.a_mat,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    # memory-lean fallback: gather per term and segment-sum into xy groups
+    contrib = par[:, dt.gyz] * dt.coeff
+    return jax.ops.segment_sum(
+        contrib.T, dt.gxy, num_segments=dt.xy_unique.shape[0]
+    ).T
+
+
 def _local_energy_chunk(
     dt: DeviceTerms,
     s: jnp.ndarray,          # (C,) uint64 chunk of sampled states
     states: jnp.ndarray,     # (U,) uint64 full sorted sample buffer
-    log_amp: jnp.ndarray,    # (U,) f32
-    phase: jnp.ndarray,      # (U,) f32
-    my_log_amp: jnp.ndarray,  # (C,) f32 log-amplitudes of this chunk
+    rec: jnp.ndarray,        # (U, 4) int32 packed lookup records
+    my_log_amp: jnp.ndarray,  # (C,) f32
     my_phase: jnp.ndarray,   # (C,) f32
     n_valid: jnp.ndarray,    # () int32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    # --- diagonal, f64
     e_diag = diagonal_energy(dt, s)
 
-    # --- psi-ratio matrix over unique flip masks, f32/c64
     coupled = s[:, None] ^ dt.xy_unique[None, :]            # (C, Kxy)
-    pos = jnp.searchsorted(states, coupled)
-    pos_c = jnp.minimum(pos, states.shape[0] - 1)
-    found = (states[pos_c] == coupled) & (pos < n_valid)
+    found, g_la, g_ph = _lookup(states, rec, n_valid, coupled)
     # clip the log-ratio: psi'/psi beyond e^30 only occurs for states with
     # negligible sampling weight, and unclipped it overflows f32.
-    dlog = jnp.clip(log_amp[pos_c] - my_log_amp[:, None], -30.0, 30.0)
-    dph = phase[pos_c] - my_phase[:, None]
+    dlog = jnp.clip(g_la - my_log_amp[:, None], -30.0, 30.0)
+    dph = g_ph - my_phase[:, None]
     mag = jnp.where(found, jnp.exp(dlog), 0.0).astype(jnp.float32)
     r_re = mag * jnp.cos(dph).astype(jnp.float32)
     r_im = mag * jnp.sin(dph).astype(jnp.float32)
 
-    # --- sign matrix over unique sign masks, f32
-    par = parity_pm1(s[:, None] & dt.yz_unique[None, :]).astype(jnp.float32)
-
-    # --- per-term accumulation: e_off = sum_k c_k * P[:, gyz_k] * R[:, gxy_k]
-    pg = par[:, dt.gyz]                                      # (C, K)
-    e_re = jnp.einsum("ck,k->c", pg * r_re[:, dt.gxy], dt.coeff)
-    e_im = jnp.einsum("ck,k->c", pg * r_im[:, dt.gxy], dt.coeff)
-
-    return e_diag + e_re.astype(jnp.float64), e_im.astype(jnp.float64)
+    h = _offdiag_h(dt, s)                                    # (C, Kxy)
+    e_re = jnp.sum(h * r_re, axis=-1).astype(jnp.float64)
+    e_im = jnp.sum(h * r_im, axis=-1).astype(jnp.float64)
+    return e_diag + e_re, e_im
 
 
 def local_energy(
@@ -134,17 +190,18 @@ def local_energy(
     Rows beyond n_valid produce garbage values; callers mask by weight.
     """
     u = states.shape[0]
-    c = chunk_rows or _chunk_rows(int(dt.gxy.shape[0]))
+    c = chunk_rows or _chunk_rows(int(dt.xy_unique.shape[0]), int(dt.yz_unique.shape[0]))
     c = min(c, u)
     n_chunks = -(-u // c)
     pad = n_chunks * c - u
     s_p = jnp.pad(states, (0, pad), constant_values=np.uint64(2**64 - 1))
     la_p = jnp.pad(log_amp, (0, pad))
     ph_p = jnp.pad(phase, (0, pad))
+    rec = pack_table(states, log_amp, phase)
 
     def body(args):
         s, la, ph = args
-        return _local_energy_chunk(dt, s, states, log_amp, phase, la, ph, n_valid)
+        return _local_energy_chunk(dt, s, states, rec, la, ph, n_valid)
 
     e_re, e_im = jax.lax.map(
         body,
@@ -161,33 +218,28 @@ def _quadratic_energy_chunk(
     dt: DeviceTerms,
     s: jnp.ndarray,
     states: jnp.ndarray,
-    log_amp: jnp.ndarray,   # (U,) f32, already shifted so max == 0
-    phase: jnp.ndarray,
-    my_log_amp: jnp.ndarray,
+    rec: jnp.ndarray,
+    my_log_amp: jnp.ndarray,  # (C,) f32, shifted so global max == 0
     my_phase: jnp.ndarray,
     n_valid: jnp.ndarray,
-    my_live: jnp.ndarray,   # (C,) bool
+    my_live: jnp.ndarray,     # (C,) bool
 ):
-    """sum_{m in chunk, k} psi_m H_{mk} psi_k, in the symmetric product form
-    exp(la_m + la_k) * cos/sin(ph_k - ph_m): every factor <= 1, so this is
+    """sum_{m in chunk, k} psi_m H_{mk} psi_k in the symmetric product form
+    exp(la_m + la_k) * cos(ph_k - ph_m): every factor <= 1, so this is
     overflow-free for arbitrary amplitude dynamic range (unlike ratios)."""
     w_m = jnp.where(my_live, jnp.exp(2.0 * my_log_amp.astype(jnp.float64)), 0.0)
-    e_diag = diagonal_energy(dt, s)
-    num_diag = jnp.sum(w_m * e_diag)
+    num_diag = jnp.sum(w_m * diagonal_energy(dt, s))
 
     coupled = s[:, None] ^ dt.xy_unique[None, :]
-    pos = jnp.searchsorted(states, coupled)
-    pos_c = jnp.minimum(pos, states.shape[0] - 1)
-    found = (states[pos_c] == coupled) & (pos < n_valid) & my_live[:, None]
-    amp_prod = jnp.where(
-        found, jnp.exp(log_amp[pos_c] + my_log_amp[:, None]), 0.0
-    ).astype(jnp.float32)
-    dph = phase[pos_c] - my_phase[:, None]
-    r_re = amp_prod * jnp.cos(dph).astype(jnp.float32)
+    found, g_la, g_ph = _lookup(states, rec, n_valid, coupled)
+    found = found & my_live[:, None]
+    amp_prod = jnp.where(found, jnp.exp(g_la + my_log_amp[:, None]), 0.0).astype(
+        jnp.float32
+    )
+    r_re = amp_prod * jnp.cos(g_ph - my_phase[:, None]).astype(jnp.float32)
 
-    par = parity_pm1(s[:, None] & dt.yz_unique[None, :]).astype(jnp.float32)
-    pg = par[:, dt.gyz]
-    num_off = jnp.einsum("ck,k->c", pg * r_re[:, dt.gxy], dt.coeff)
+    h = _offdiag_h(dt, s)
+    num_off = jnp.sum(h * r_re, axis=-1)
     return num_diag + jnp.sum(num_off.astype(jnp.float64)), jnp.sum(w_m)
 
 
@@ -212,7 +264,7 @@ def quadratic_energy(
     ref = jnp.max(la)
     la = jnp.where(live, log_amp - ref, -100.0)
 
-    c = chunk_rows or _chunk_rows(int(dt.gxy.shape[0]))
+    c = chunk_rows or _chunk_rows(int(dt.xy_unique.shape[0]), int(dt.yz_unique.shape[0]))
     c = min(c, u)
     n_chunks = -(-u // c)
     pad = n_chunks * c - u
@@ -220,10 +272,11 @@ def quadratic_energy(
     la_p = jnp.pad(la, (0, pad), constant_values=-100.0)
     ph_p = jnp.pad(phase, (0, pad))
     live_p = jnp.pad(live, (0, pad))
+    rec = pack_table(states, la, phase)
 
     def body(args):
         s, l, p, lv = args
-        return _quadratic_energy_chunk(dt, s, states, la, phase, l, p, n_valid, lv)
+        return _quadratic_energy_chunk(dt, s, states, rec, l, p, n_valid, lv)
 
     num, den = jax.lax.map(
         body,
@@ -247,12 +300,7 @@ def expectation_energy(
     n_valid: jnp.ndarray,
     chunk_rows: int | None = None,
 ):
-    """Weighted <E_loc> and per-state E_loc. weights must sum to 1 (f64).
-
-    With `states` = the full restricted basis and weights = normalized
-    |psi|^2 this is the exact <psi|H|psi>/<psi|psi> (reference's
-    calculate_energy, energy.py:189-217).
-    """
+    """Weighted <E_loc> and per-state E_loc. weights must sum to 1 (f64)."""
     e_re, e_im = local_energy(dt, states, log_amp, phase, n_valid, chunk_rows)
     e_re = jnp.where(jnp.arange(states.shape[0]) < n_valid, e_re, 0.0)
     e_im = jnp.where(jnp.arange(states.shape[0]) < n_valid, e_im, 0.0)

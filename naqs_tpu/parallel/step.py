@@ -1,0 +1,113 @@
+"""Multi-chip data parallelism over the unique-sample batch.
+
+The reference is strictly single-process/single-GPU (SURVEY.md section 2.3);
+this layer is new, designed TPU-first: a 1-D device mesh over axis "dp",
+``shard_map``-ed sample -> E_loc -> grad step with
+
+  * per-shard ancestral sampling under distinct PRNG keys (duplicate unique
+    states across shards are harmless: weighting is count-based),
+  * an all-gather of the (tiny: ~16 B/state) sampled wavefunction table so
+    every shard computes local energies against the GLOBAL support — better
+    E_loc coverage than any single chip,
+  * psum'd energy/variance/gradients over ICI; parameters replicated (the
+    ansatz is ~1e5 params — no tensor parallelism needed).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from naqs_tpu.models.nade import NAQSConfig, log_psi
+from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
+from naqs_tpu.sampler import sample
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("dp",))
+
+
+def make_sharded_train_step(
+    cfg: NAQSConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    capacity_per_device: int,
+):
+    """Returns jitted step(params, opt_state, dt, keys, n_samples) ->
+    (params, opt_state, metrics). `keys` must be jax.random.split(key, D).
+
+    params/opt_state/dt replicated; keys sharded over "dp".
+    """
+    n_dev = mesh.devices.size
+
+    def _device_step(params, opt_state, dt: DeviceTerms, keys, n_samples):
+        key = keys[0]
+        batch = sample(
+            cfg, params, key, n_samples / n_dev, capacity_per_device
+        )
+        live = jnp.arange(batch.states.shape[0]) < batch.n_unique
+
+        # global sampled wavefunction table for the E_loc lookup
+        la_l, ph_l = log_psi(cfg, params, batch.states)
+        la_l, ph_l = jax.lax.stop_gradient((la_l, ph_l))
+        g_states = jax.lax.all_gather(batch.states, "dp").reshape(-1)
+        g_la = jax.lax.all_gather(la_l, "dp").reshape(-1)
+        g_ph = jax.lax.all_gather(ph_l, "dp").reshape(-1)
+        g_live = jax.lax.all_gather(live, "dp").reshape(-1)
+        # re-sort the merged buffer (padding SENTINELs sort last)
+        order = jnp.argsort(g_states)
+        g_states = g_states[order]
+        g_la = g_la[order]
+        g_ph = g_ph[order]
+        g_n_valid = jnp.sum(g_live).astype(jnp.int32)
+
+        # local-state log psi of each local row inside the merged table is
+        # just la_l/ph_l; E_loc for local rows against the global support
+        pos = jnp.searchsorted(g_states, batch.states)
+        pos = jnp.minimum(pos, g_states.shape[0] - 1)
+        e_re_g, e_im_g = local_energy(dt, g_states, g_la, g_ph, g_n_valid)
+        e_re = jnp.where(live, e_re_g[pos], 0.0)
+        e_im = jnp.where(live, e_im_g[pos], 0.0)
+
+        counts = jnp.where(live, batch.counts, 0.0)
+        total = jax.lax.psum(jnp.sum(counts), "dp")
+        w = counts / total
+        e_mean = jax.lax.psum(jnp.sum(w * e_re), "dp")
+        e_mean_im = jax.lax.psum(jnp.sum(w * e_im), "dp")
+        e_var = jax.lax.psum(jnp.sum(w * (e_re - e_mean) ** 2), "dp")
+
+        d_re = (e_re - e_mean).astype(jnp.float32)
+        d_im = (e_im - e_mean_im).astype(jnp.float32)
+        wf = w.astype(jnp.float32)
+
+        def loss_fn(p):
+            la, ph = log_psi(cfg, p, batch.states)
+            return 2.0 * jnp.sum(wf * (la * d_re + ph * d_im))
+
+        grads = jax.grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, "dp")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "e_loc": e_mean,
+            "e_loc_var": e_var,
+            "n_unique": jax.lax.psum(batch.n_unique, "dp"),
+            "overflow": jax.lax.psum(batch.overflow.astype(jnp.int32), "dp") > 0,
+        }
+        return params, opt_state, metrics
+
+    sharded = jax.shard_map(
+        _device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,76 @@
+"""Multi-chip sharded training on an 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import naqs_tpu as nq
+from naqs_tpu.models.nade import NAQSConfig, init_params
+from naqs_tpu.ops.local_energy import DeviceTerms
+from naqs_tpu.parallel import make_mesh, make_sharded_train_step
+from naqs_tpu.trainer import TrainConfig, VMCTrainer, exact_energy
+
+
+def test_virtual_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_trains_h2():
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(32,), phase_hidden=(32,), masking="partial",
+    )
+    tc = TrainConfig(n_train=300, use_lr_schedule=False, lr=1e-3)
+    opt = tc.make_optimizer()
+    mesh = make_mesh()
+    step = make_sharded_train_step(cfg, opt, mesh, capacity_per_device=8)
+
+    params = init_params(jax.random.key(0), cfg)
+    opt_state = opt.init(params)
+    dt = DeviceTerms.from_terms(terms)
+    key = jax.random.key(1)
+
+    e_hist = []
+    for i in range(300):
+        key, k = jax.random.split(key)
+        keys = jax.random.split(k, 8)
+        params, opt_state, metrics = step(
+            params, opt_state, dt, keys, jnp.float64(1e5)
+        )
+        e_hist.append(float(metrics["e_loc"]))
+        assert not bool(metrics["overflow"])
+
+    e = float(exact_energy(cfg, params, dt, jnp.asarray(h.basis)))
+    assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
+    # energy decreased substantially from the start
+    assert np.mean(e_hist[-20:]) < np.mean(e_hist[:20]) - 0.1
+
+
+def test_sharded_metrics_match_single_chip_statistics():
+    """Global count-weighted <E_loc> from the mesh must be consistent with a
+    single-chip estimate (same params, same physics) within noise."""
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(16,), phase_hidden=(16,), masking="full",
+    )
+    params = init_params(jax.random.key(3), cfg)
+    dt = DeviceTerms.from_terms(terms)
+    opt = TrainConfig(lr=0.0, use_lr_schedule=False).make_optimizer()  # no-op update
+    mesh = make_mesh()
+    step = make_sharded_train_step(cfg, opt, mesh, capacity_per_device=256)
+    opt_state = opt.init(params)
+    _, _, m = step(
+        params, opt_state, dt, jax.random.split(jax.random.key(4), 8),
+        jnp.float64(8e5),
+    )
+    e_mesh = float(m["e_loc"])
+    # exact value over the basis as the ground truth for the estimator
+    e_exact = float(exact_energy(cfg, params, dt, jnp.asarray(h.basis)))
+    assert abs(e_mesh - e_exact) < 0.05, (e_mesh, e_exact)
