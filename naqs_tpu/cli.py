@@ -1,0 +1,296 @@
+"""Experiment driver CLI — the reference's experiments layer, flag-for-flag.
+
+Mirrors `python -m experiments.run` (reference: experiments/_base.py:394-554
+for the flag surface, _base.py:32-392 for the run flow): seed -> molecule ->
+Hilbert (open-shell m_s sector logic) -> model -> trainer -> optional exact
+pre-solve sanity check -> pre-training -> two-phase LR training -> sampled-
+subspace FCI -> plots + chemical-accuracy summary.
+
+Usage:
+    python -m naqs_tpu.cli -m LiH -n_train 2000 -n_hid 64 -single_phase
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train a NAQS wavefunction on a molecule (TPU-native).",
+        allow_abbrev=True,
+    )
+    p.add_argument("-m", "--molecule", default="H2", help="molecule folder or name")
+    p.add_argument("-o", "--out", default=None, help="output folder")
+    p.add_argument("-n", "--number", type=int, default=1, help="number of runs")
+    p.add_argument("-qo", "--qubit_ordering", type=int, default=-1,
+                   help="shell ordering: 1 natural, -1 reversed, 0 random")
+    p.add_argument("-l", "--load", default=None, help="pre-trained checkpoint dir")
+    p.add_argument("-c", "--cont", action="store_true", help="continue previous run")
+    p.add_argument("-r", "--resetOpt", action="store_true", help="reset optimizer state")
+    p.add_argument("-n_samps", type=float, default=1e6)
+    p.add_argument("-n_samps_max", type=float, default=1e12)
+    p.add_argument("-n_unq_samps_min", type=int, default=50000)
+    p.add_argument("-n_unq_samps_max", type=int, default=100000)
+    p.add_argument("-weight_by_psi", action="store_true",
+                   help="weight samples by |psi|^2 instead of counts")
+    p.add_argument("-no_mask_psi", action="store_true", help="masking: none")
+    p.add_argument("-full_mask_psi", action="store_true", help="masking: full")
+    p.add_argument("-lr", type=float, default=-1,
+                   help="learning rate (-1: default 1e-3 -> 5e-4 schedule)")
+    p.add_argument("-lr_lut", type=float, default=1e-2, help="LUT-conditional LR")
+    p.add_argument("-n_train", type=int, default=5000)
+    p.add_argument("-n_pretrain", type=int, default=0)
+    p.add_argument("-n_lut", type=int, default=0,
+                   help="number of leading shells using LUT conditionals")
+    p.add_argument("-n_hid", type=int, default=64)
+    p.add_argument("-n_layer", type=int, default=1)
+    p.add_argument("-n_hid_phase", type=int, default=-1)
+    p.add_argument("-n_layer_phase", type=int, default=-1)
+    p.add_argument("-output_freq", type=int, default=25)
+    p.add_argument("-save_freq", type=int, default=-1)
+    p.add_argument("-loadH", action="store_true", help="load cached compiled terms")
+    p.add_argument("-overwriteH", action="store_true", help="cache compiled terms")
+    p.add_argument("-presolveH", action="store_true",
+                   help="exactly diagonalize H and check against FCI")
+    p.add_argument("-n_excitations_max", type=int, default=-1)
+    p.add_argument("-comb_amp_phase", action="store_true")
+    p.add_argument("-no_amp_sym", action="store_true")
+    p.add_argument("-phase_sym", action="store_true")
+    p.add_argument("-single_phase", action="store_true",
+                   help="one global phase net instead of per-shell nets")
+    p.add_argument("-no_restrictedH", action="store_true",
+                   help="do not hard-restrict the ansatz to valid electron counts")
+    p.add_argument("-exact_sampling", action="store_true",
+                   help="train over the entire restricted basis with |psi|^2 weights")
+    p.add_argument("-devices", type=int, default=0,
+                   help="data-parallel devices (0 = all available)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-s", "--seed", type=int, default=-1)
+    return p
+
+
+def _exp_name(args) -> str:
+    name = os.path.basename(os.path.normpath(args.molecule))
+    n = args.n_samps
+    samp = (
+        f"{int(n)}" if n < 1e3 else f"{int(n/1e3)}k" if n < 1e6
+        else f"{int(n/1e6)}M" if n < 1e9 else f"{int(n/1e9)}B"
+    )
+    out = os.path.join("data", "naqs", f"{name}_{samp}_samps")
+    if args.no_amp_sym:
+        out += "_noAmpSym"
+    if args.phase_sym:
+        out += "_phaseSym"
+    if args.no_restrictedH:
+        out += "_no_restrictedH"
+    if args.no_mask_psi:
+        out += "_no_mask_psi"
+    elif args.full_mask_psi:
+        out += "_full_mask_psi"
+    return out
+
+
+def run(args=None) -> dict:
+    parser = get_parser()
+    args = parser.parse_args(args)
+    if args.no_mask_psi and args.full_mask_psi:
+        parser.error("at most one of -no_mask_psi / -full_mask_psi")
+
+    import jax
+    import jax.numpy as jnp
+
+    import naqs_tpu as nq
+    from naqs_tpu.models.nade import NAQSConfig, count_parameters
+    from naqs_tpu.trainer import TrainConfig, VMCTrainer
+    from naqs_tpu.utils.plotting import CHEM_ACC, plot_training
+
+    out_root = args.out or _exp_name(args)
+    seed = args.seed if args.seed >= 0 else int(time.time()) % 100000
+
+    mol = nq.load_molecule(args.molecule)
+    print(f"Loaded {mol.name}: {mol.n_qubits} qubits, {mol.n_electrons} electrons, "
+          f"{len(mol.qubit_hamiltonian)} Pauli terms")
+    for lab, e in [("HF", mol.hf_energy), ("MP2", mol.mp2_energy),
+                   ("CCSD", mol.ccsd_energy), ("FCI", mol.fci_energy)]:
+        if e is not None:
+            print(f"  {lab:5s} energy: {e:.6f} Ha")
+
+    results = {}
+    for run_i in range(args.number):
+        out_dir = out_root if args.number == 1 else f"{out_root}_{run_i}"
+        os.makedirs(out_dir, exist_ok=True)
+
+        hilbert = nq.Hilbert.for_molecule(mol, restrict_to_ms=True)
+        m_s = abs(mol.n_alpha_electrons - mol.n_beta_electrons) // 2
+        use_amp_spin_sym = not args.no_amp_sym
+        if m_s != 0:
+            # reference: fixed-m_s open-shell runs disable amp spin sym
+            # (experiments/_base.py:112-114)
+            use_amp_spin_sym = False
+        print(f"Hilbert: sectors={hilbert.sectors}, {hilbert.size} valid states")
+
+        masking = ("none" if args.no_mask_psi else
+                   "full" if args.full_mask_psi else "partial")
+        n_hid_phase = args.n_hid_phase if args.n_hid_phase > 0 else args.n_hid
+        n_layer_phase = args.n_layer_phase if args.n_layer_phase > 0 else args.n_layer
+        s = mol.n_qubits // 2
+        if args.qubit_ordering == 1:
+            shell_order = tuple(range(s))
+        elif args.qubit_ordering == -1:
+            shell_order = tuple(range(s - 1, -1, -1))
+        else:
+            shell_order = tuple(np.random.default_rng(seed).permutation(s).tolist())
+
+        sectors = hilbert.sectors
+        if args.no_restrictedH:
+            # soft ansatz: no electron-number constraints in the model
+            masking = "none"
+
+        cfg = NAQSConfig(
+            n_qubits=mol.n_qubits,
+            sectors=sectors,
+            masking=masking,
+            amp_hidden=(args.n_hid,) * args.n_layer,
+            phase_hidden=(n_hid_phase,) * n_layer_phase,
+            use_amp_spin_sym=use_amp_spin_sym,
+            use_phase_spin_sym=args.phase_sym,
+            aggregate_phase=not args.single_phase,
+            num_lut=args.n_lut,
+            combined_amp_phase=args.comb_amp_phase,
+            shell_order=shell_order,
+        )
+
+        n_exc = args.n_excitations_max if args.n_excitations_max >= 0 else None
+        terms = _load_or_compile_terms(args, mol, n_exc)
+
+        use_default_schedule = args.lr < 0
+        tc = TrainConfig(
+            n_train=args.n_train,
+            lr=1e-3 if use_default_schedule else args.lr,
+            lr_final=5e-4 if use_default_schedule else args.lr,
+            use_lr_schedule=use_default_schedule,
+            lr_lut=args.lr_lut,
+            n_samples=args.n_samps,
+            n_samples_max=args.n_samps_max,
+            n_unq_samples_min=args.n_unq_samps_min,
+            n_unq_samples_max=args.n_unq_samps_max,
+            reweight_by_psi=args.weight_by_psi,
+            seed=seed + run_i,
+        )
+        trainer = VMCTrainer(cfg, terms, hilbert, tc, save_loc=out_dir)
+        print(f"Model parameters: {count_parameters(trainer.params)}")
+
+        log_exact = args.presolveH and mol.n_qubits < 28
+        if args.presolveH and hilbert.size < 50000:
+            from scipy.sparse.linalg import eigsh
+
+            from naqs_tpu.hamiltonian import assemble_sparse_hamiltonian_np
+
+            H = assemble_sparse_hamiltonian_np(terms, hilbert.basis)
+            e0 = float(eigsh(H, k=1, which="SA")[0][0])
+            print(f"Pre-solved ground state: {e0:.6f} Ha "
+                  f"(stored FCI: {mol.fci_energy})")
+            results["presolve_e0"] = e0
+
+        if args.load:
+            trainer.save_loc = args.load
+            trainer.load()
+            trainer.save_loc = out_dir
+        if args.cont and os.path.exists(os.path.join(out_dir, "checkpoint.msgpack")):
+            trainer.load()
+        elif args.n_pretrain > 0:
+            print(f"Pre-flattening for {args.n_pretrain} epochs...")
+            trainer.pre_flatten(args.n_pretrain)
+        if args.resetOpt:
+            trainer.opt_state = trainer.optimizer.init(trainer.params)
+
+        print("Training...")
+        save_freq = args.save_freq if args.save_freq > 0 else None
+        if args.exact_sampling:
+            trainer.run_exact(args.n_train, output_freq=args.output_freq)
+        else:
+            trainer.run(args.n_train, output_freq=args.output_freq,
+                        log_exact_energy=log_exact, save_freq=save_freq)
+        trainer.save()
+
+        e_fci_sub, n_unq = trainer.solve_h(n_samps=trainer.n_samples)
+        e_loc_hist = np.asarray([v for _, v in trainer.log["E_LOC"]])
+        window = min(25, max(len(e_loc_hist), 1))
+        e_smooth = (np.convolve(e_loc_hist, np.ones(window) / window, "valid")
+                    if len(e_loc_hist) >= window else e_loc_hist)
+
+        summary = {
+            "molecule": mol.name,
+            "seed": seed + run_i,
+            "e_loc_min": float(e_loc_hist.min()) if len(e_loc_hist) else None,
+            "e_loc_smoothed_min": float(e_smooth.min()) if len(e_smooth) else None,
+            "e_vmc_fci_subspace": e_fci_sub,
+            "n_unique_final": n_unq,
+            "hf_energy": mol.hf_energy,
+            "ccsd_energy": mol.ccsd_energy,
+            "fci_energy": mol.fci_energy,
+        }
+        if hilbert.size <= 2_000_000:
+            summary["e_exact_final"] = trainer.exact_energy()
+        for lab, e in [("vmc", summary.get("e_exact_final", summary["e_loc_smoothed_min"])),
+                       ("vmc_fci", e_fci_sub)]:
+            if e is None or mol.fci_energy is None:
+                continue
+            summary[f"{lab}_below_hf"] = bool(e < mol.hf_energy)
+            summary[f"{lab}_below_ccsd"] = bool(mol.ccsd_energy and e < mol.ccsd_energy)
+            summary[f"{lab}_chem_acc"] = bool(e < mol.fci_energy + CHEM_ACC)
+
+        print("\n---------- Summary ----------")
+        for k, v in summary.items():
+            print(f"  {k}: {v}")
+        with open(os.path.join(out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        try:
+            plot_training(trainer, mol, fname=os.path.join(out_dir, "training.png"))
+        except Exception as exc:  # plotting must never kill a finished run
+            print(f"(plotting failed: {exc})")
+        results[f"run_{run_i}"] = summary
+    return results
+
+
+def _load_or_compile_terms(args, mol, n_exc):
+    import naqs_tpu as nq
+    from naqs_tpu.hamiltonian import PauliTerms
+
+    cache = None
+    if args.loadH or args.overwriteH:
+        tag = f"_{n_exc}exc" if n_exc is not None else ""
+        base = os.path.basename(os.path.normpath(args.molecule))
+        cache = os.path.join("data", "terms_cache", f"{base}{tag}_terms.npz")
+    if args.loadH and cache and os.path.exists(cache):
+        with np.load(cache) as z:
+            terms = PauliTerms(**{k: z[k] for k in z.files if k != "n_qubits"},
+                               n_qubits=int(z["n_qubits"]))
+        print(f"Loaded compiled terms from {cache}")
+        return terms
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits,
+                                   n_excitations_max=n_exc)
+    if args.overwriteH and cache:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(
+            cache, n_qubits=terms.n_qubits, diag_yz=terms.diag_yz,
+            diag_coeff=terms.diag_coeff, xy=terms.xy, yz=terms.yz,
+            coeff=terms.coeff, xy_unique=terms.xy_unique, gxy=terms.gxy,
+            yz_unique=terms.yz_unique, gyz=terms.gyz,
+        )
+        print(f"Cached compiled terms to {cache}")
+    return terms
+
+
+def main():
+    run()
+
+
+if __name__ == "__main__":
+    main()

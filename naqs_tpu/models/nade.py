@@ -57,6 +57,8 @@ class NAQSConfig:
     use_amp_spin_sym: bool = True
     use_phase_spin_sym: bool = False
     aggregate_phase: bool = False  # False -> one global phase net (production)
+    num_lut: int = 0               # leading shells use lookup-table conditionals
+    combined_amp_phase: bool = False  # one trunk emits amp+phase outputs
     shell_order: Tuple[int, ...] = ()  # model shell j <- state shell order[j]
     param_dtype: str = "float32"
 
@@ -70,6 +72,14 @@ class NAQSConfig:
             )
         if sorted(self.shell_order) != list(range(self.n_shells)):
             raise ValueError("shell_order must be a permutation of shells")
+        if not (0 <= self.num_lut <= min(self.n_shells, 8)):
+            raise ValueError("num_lut must be in [0, min(n_shells, 8)]")
+        if self.num_lut >= self.n_shells and not self.aggregate_phase:
+            raise ValueError("num_lut == n_shells with a single phase net is unsupported")
+        if self.combined_amp_phase and self.use_amp_spin_sym != self.use_phase_spin_sym:
+            # reference forces identical spin-sym settings for combined
+            # blocks (nade.py:257-262)
+            object.__setattr__(self, "use_phase_spin_sym", self.use_amp_spin_sym)
 
     @property
     def n_shells(self) -> int:
@@ -106,14 +116,35 @@ def _init_mlp_stack(key, n_stack, dims, dtype):
     return layers
 
 
+def _amp_out_dim(cfg: NAQSConfig) -> int:
+    return cfg.n_amp_out + (cfg.n_phase_out if cfg.combined_amp_phase else 0)
+
+
 def init_params(key, cfg: NAQSConfig) -> dict:
     s = cfg.n_shells
-    k_amp, k_ph = jax.random.split(key)
-    amp_dims = (cfg.in_width, *cfg.amp_hidden, cfg.n_amp_out)
+    k_amp, k_ph, k_lut = jax.random.split(key, 3)
+    n_amp_out = _amp_out_dim(cfg)
+    amp_dims = (cfg.in_width, *cfg.amp_hidden, n_amp_out)
     params = {"amp": _init_mlp_stack(k_amp, s, amp_dims, cfg.dtype)}
-    ph_dims = (cfg.in_width, *cfg.phase_hidden, cfg.n_phase_out)
-    n_phase_nets = s if cfg.aggregate_phase else 1
-    params["phase"] = _init_mlp_stack(k_ph, n_phase_nets, ph_dims, cfg.dtype)
+    if not cfg.combined_amp_phase:
+        ph_dims = (cfg.in_width, *cfg.phase_hidden, cfg.n_phase_out)
+        n_phase_nets = s if cfg.aggregate_phase else 1
+        params["phase"] = _init_mlp_stack(k_ph, n_phase_nets, ph_dims, cfg.dtype)
+    if cfg.num_lut:
+        # explicit lookup-table conditionals for the first num_lut model
+        # shells (reference OrbitalLUT, nade.py:117-155); one learnable row
+        # per canonicalized input bit-pattern
+        keys = jax.random.split(k_lut, cfg.num_lut)
+        params["lut"] = [
+            jax.random.normal(keys[j], (4**j, n_amp_out), cfg.dtype)
+            for j in range(cfg.num_lut)
+        ]
+        if cfg.aggregate_phase and not cfg.combined_amp_phase:
+            keys2 = jax.random.split(jax.random.fold_in(k_lut, 1), cfg.num_lut)
+            params["lut_phase"] = [
+                jax.random.normal(keys2[j], (4**j, cfg.n_phase_out), cfg.dtype)
+                for j in range(cfg.num_lut)
+            ]
     return params
 
 
@@ -248,14 +279,60 @@ def masked_log_softmax_half(logits4: jnp.ndarray, mask) -> jnp.ndarray:
 
 # ------------------------------------------------------------------- predict
 
-def _amp_tables(cfg: NAQSConfig, params, alpha, beta, st):
-    x = shell_inputs(cfg, alpha, beta, canonical=cfg.use_amp_spin_sym)
-    raw = _mlp_stack_apply(params["amp"], x)  # (B, S, 5|4)
-    if cfg.use_amp_spin_sym:
-        logits4 = symmetrize_amp(raw, st["order3"])
-    else:
-        logits4 = raw
+def _lut_index(cfg: NAQSConfig, x: jnp.ndarray, j: int) -> jnp.ndarray:
+    """Canonicalized-input LUT row index for shell j from the padded input
+    tensor row x (..., 2(S-1)) (reference OrbitalLUT._state2idx, nade.py:142)."""
     s = cfg.n_shells
+    if j == 0:
+        return jnp.zeros(x.shape[:-1], dtype=jnp.int32)
+    first = (x[..., :j] > 0).astype(jnp.int32)
+    second = (x[..., s - 1:s - 1 + j] > 0).astype(jnp.int32)
+    w = (1 << jnp.arange(j, dtype=jnp.int32))
+    return jnp.sum(first * w, axis=-1) + jnp.sum(second * (w << j), axis=-1)
+
+
+def _apply_luts(cfg, tables, x, raw):
+    """Overwrite raw logits of shells < num_lut with LUT rows."""
+    for j in range(cfg.num_lut):
+        idx = _lut_index(cfg, x[..., j, :], j)
+        raw = raw.at[..., j, :].set(tables[j][idx])
+    return raw
+
+
+def _tables(cfg: NAQSConfig, params, alpha, beta, st):
+    """Per-shell conditional tables: (log_amp4, mask4, phase4), each
+    (..., S, 4) in MODEL shell order."""
+    s = cfg.n_shells
+    x_amp = shell_inputs(cfg, alpha, beta, canonical=cfg.use_amp_spin_sym)
+    raw = _mlp_stack_apply(params["amp"], x_amp)
+    if cfg.num_lut:
+        raw = _apply_luts(cfg, params["lut"], x_amp, raw)
+
+    if cfg.combined_amp_phase:
+        raw_amp = raw[..., : cfg.n_amp_out]
+        raw_phase = raw[..., cfg.n_amp_out:]
+    else:
+        raw_amp = raw
+        x_ph = (
+            x_amp
+            if cfg.use_phase_spin_sym == cfg.use_amp_spin_sym
+            else shell_inputs(cfg, alpha, beta, canonical=cfg.use_phase_spin_sym)
+        )
+        if cfg.aggregate_phase:
+            raw_phase = _mlp_stack_apply(params["phase"], x_ph)  # (B, S, 3|4)
+            if cfg.num_lut:
+                raw_phase = _apply_luts(cfg, params["lut_phase"], x_ph, raw_phase)
+        else:
+            # one global net evaluated on the final shell's input
+            raw_last = _mlp_single_apply(params["phase"], 0, x_ph[..., s - 1, :])
+            raw_phase = jnp.zeros((*x_ph.shape[:-1], raw_last.shape[-1]), raw_last.dtype)
+            raw_phase = raw_phase.at[..., s - 1, :].set(raw_last)
+
+    # --- amplitude head
+    if cfg.use_amp_spin_sym:
+        logits4 = symmetrize_amp(raw_amp, st["order3"])
+    else:
+        logits4 = raw_amp
     if cfg.masking == "none":
         mask = None
         log_amp = masked_log_softmax_half(logits4, None)
@@ -265,22 +342,10 @@ def _amp_tables(cfg: NAQSConfig, params, alpha, beta, st):
             # last shell unmasked (reference nade.py:615-616)
             mask = mask.at[..., s - 1, :].set(True)
         log_amp = masked_log_softmax_half(logits4, mask)
-    return log_amp, mask
 
-
-def _phase_tables(cfg: NAQSConfig, params, alpha, beta, st):
-    """(B, S, 4) per-shell phase tables (zeros for silent shells)."""
-    s = cfg.n_shells
-    x = shell_inputs(cfg, alpha, beta, canonical=cfg.use_phase_spin_sym)
-    if cfg.aggregate_phase:
-        raw = _mlp_stack_apply(params["phase"], x)  # (B, S, 3|4)
-    else:
-        # one global net evaluated on the final shell's input
-        raw_last = _mlp_single_apply(params["phase"], 0, x[..., s - 1, :])
-        raw = jnp.zeros((*x.shape[:-1], raw_last.shape[-1]), raw_last.dtype)
-        raw = raw.at[..., s - 1, :].set(raw_last)
+    # --- phase head
     if cfg.use_phase_spin_sym:
-        phase4 = raw[..., jnp.asarray([0, 1, 1, 2])]
+        phase4 = raw_phase[..., jnp.asarray([0, 1, 1, 2])]
         # exchange phase shift pi*(N01 mod 2) on the canonical-swapped partner
         # (reference nade.py:597-610), applied at the last shell.
         full_pa = st["pa"][..., s - 1] + alpha[..., s - 1].astype(jnp.int64) * (1 << (s - 1))
@@ -289,8 +354,8 @@ def _phase_tables(cfg: NAQSConfig, params, alpha, beta, st):
         shift = jnp.where(full_pa < full_pb, jnp.pi * (n01 % 2), 0.0)
         phase4 = phase4.at[..., s - 1, :].add(shift[..., None])
     else:
-        phase4 = raw
-    return phase4
+        phase4 = raw_phase
+    return log_amp, mask, phase4
 
 
 def shell_tables(cfg: NAQSConfig, params, states: jnp.ndarray):
@@ -302,8 +367,7 @@ def shell_tables(cfg: NAQSConfig, params, states: jnp.ndarray):
     """
     alpha, beta = split_spins(cfg, states)
     st = prefix_stats(alpha, beta)
-    log_amp, _ = _amp_tables(cfg, params, alpha, beta, st)
-    phase = _phase_tables(cfg, params, alpha, beta, st)
+    log_amp, _, phase = _tables(cfg, params, alpha, beta, st)
     return log_amp, phase
 
 
@@ -312,8 +376,7 @@ def log_psi(cfg: NAQSConfig, params, states: jnp.ndarray):
     and sum over shells (reference wavefunction.py:148-183)."""
     alpha, beta = split_spins(cfg, states)
     st = prefix_stats(alpha, beta)
-    log_amp4, _ = _amp_tables(cfg, params, alpha, beta, st)
-    phase4 = _phase_tables(cfg, params, alpha, beta, st)
+    log_amp4, _, phase4 = _tables(cfg, params, alpha, beta, st)
     occ = (alpha + 2 * beta).astype(jnp.int32)[..., None]  # (B, S, 1)
     la = jnp.take_along_axis(log_amp4, occ, axis=-1)[..., 0]
     ph = jnp.take_along_axis(phase4, occ, axis=-1)[..., 0]
@@ -345,6 +408,22 @@ def amp_conditional_shell(cfg: NAQSConfig, params, j, alpha, beta):
     else:
         x = jnp.concatenate([a_in, b_in], axis=-1)
     raw = _mlp_single_apply(params["amp"], j, x)
+    if cfg.num_lut:
+        # LUT shells dispatch by traced shell index via lax.switch
+        out_dim = raw.shape[-1]
+
+        def mk_branch(jj):
+            def branch(x):
+                idx = _lut_index(cfg, x, jj)
+                return params["lut"][jj][idx].astype(raw.dtype)
+            return branch
+
+        branches = [mk_branch(jj) for jj in range(cfg.num_lut)]
+        branches.append(lambda x: jnp.zeros((*x.shape[:-1], out_dim), raw.dtype))
+        lut_raw = jax.lax.switch(jnp.minimum(j, cfg.num_lut), branches, x)
+        raw = jnp.where(j < cfg.num_lut, lut_raw, raw)
+    if cfg.combined_amp_phase:
+        raw = raw[..., : cfg.n_amp_out]
     logits4 = symmetrize_amp(raw, order3) if cfg.use_amp_spin_sym else raw
 
     ca = jnp.sum(alpha * (jnp.arange(s) < j), axis=-1)

@@ -77,6 +77,7 @@ class TrainConfig:
     n_train: int = 5000
     lr: float = 1e-3
     lr_final: float = 5e-4          # second-phase LR (reference default schedule)
+    lr_lut: float = 1e-2            # separate LR for LUT-conditional tables
     use_lr_schedule: bool = True
     adam_b1: float = 0.9
     adam_b2: float = 0.99
@@ -90,7 +91,7 @@ class TrainConfig:
     reweight_by_psi: bool = False
     seed: int = 0
 
-    def make_optimizer(self) -> optax.GradientTransformation:
+    def make_optimizer(self, has_lut: bool = False) -> optax.GradientTransformation:
         if self.use_lr_schedule:
             half = max(self.n_train // 2, 1)
             sched = optax.join_schedules(
@@ -99,14 +100,31 @@ class TrainConfig:
             )
         else:
             sched = self.lr
+        adam = lambda lr: optax.adam(
+            lr, b1=self.adam_b1, b2=self.adam_b2, eps=self.adam_eps
+        )
+        if has_lut:
+            # separate learning-rate group for LUT tables (reference param
+            # groups, wavefunction.py:416-437 / _base.py:228)
+            def labels(params):
+                return {
+                    k: jax.tree_util.tree_map(
+                        lambda _: "lut" if k.startswith("lut") else "mlp", v
+                    )
+                    for k, v in params.items()
+                }
+
+            base = optax.multi_transform(
+                {"mlp": adam(sched), "lut": adam(self.lr_lut)}, labels
+            )
+        else:
+            base = adam(sched)
         chain = []
         if self.grad_clip_factor is not None:
             chain.append(
                 adaptive_trailing_clip(self.grad_clip_factor, self.grad_clip_memory)
             )
-        chain.append(
-            optax.adam(sched, b1=self.adam_b1, b2=self.adam_b2, eps=self.adam_eps)
-        )
+        chain.append(base)
         return optax.chain(*chain)
 
 
@@ -222,7 +240,7 @@ class VMCTrainer:
         self.hilbert = hilbert
         self.terms = terms
         self.dt = DeviceTerms.from_terms(terms)
-        self.optimizer = train_cfg.make_optimizer()
+        self.optimizer = train_cfg.make_optimizer(has_lut=model_cfg.num_lut > 0)
         self.key = jax.random.key(train_cfg.seed)
         self.key, k0 = jax.random.split(self.key)
         self.params = init_params(k0, model_cfg)
@@ -318,6 +336,34 @@ class VMCTrainer:
                 self.save()
             if callback is not None:
                 callback(self, out)
+        return self
+
+    def run_exact(self, n_epochs: int, output_freq: int = 25):
+        """Train with exact |psi|^2 weights over the entire restricted basis
+        (reference ExactSamplingOptimizer, energy.py:540-729)."""
+        basis = jnp.asarray(self.hilbert.basis)
+        batch = SampleBatch(
+            states=basis,
+            counts=jnp.ones((len(self.hilbert.basis),), jnp.float64),
+            n_unique=jnp.int32(len(self.hilbert.basis)),
+            overflow=jnp.array(False),
+        )
+        for i in range(n_epochs):
+            t0 = time.time()
+            self.params, self.opt_state, metrics = vmc_update(
+                self.cfg, self.optimizer, self.params, self.opt_state,
+                self.dt, batch, reweight_by_psi=True,
+            )
+            self.n_steps += 1
+            self.run_time += time.time() - t0
+            e = float(metrics["e_loc"])
+            self.log["E_LOC"].append((self.n_steps, e))
+            self.log["E_LOC_VAR"].append((self.n_steps, float(metrics["e_loc_var"])))
+            self.log["N_UNIQUE_SAMP"].append((self.n_steps, int(batch.n_unique)))
+            self.log["TIME"].append((self.n_steps, self.run_time))
+            if (self.n_steps % output_freq == 0) or self.n_steps == 1:
+                print(f"step {self.n_steps}: <E>={e:.6f} "
+                      f"var={float(metrics['e_loc_var']):.6f}", flush=True)
         return self
 
     # -- warm starts
