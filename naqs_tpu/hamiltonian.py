@@ -243,3 +243,7 @@ def local_energy_np(
         ratio = np.where(found, psi[pos_c] / psi, 0.0)
         e += h * ratio
     return e
+
+
+# re-export the offline JW pipeline at the location molecule.py expects
+from naqs_tpu.jw import jordan_wigner_from_integrals  # noqa: E402,F401
