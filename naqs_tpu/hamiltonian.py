@@ -189,10 +189,22 @@ def assemble_dense_hamiltonian_np(terms: PauliTerms, basis: np.ndarray) -> np.nd
 
 
 def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray):
-    """scipy CSR H over a sorted packed-state basis (for Lanczos solve_H)."""
+    """scipy CSR H over a sorted packed-state basis (for Lanczos solve_H).
+
+    Uses the native C++/OpenMP assembler (csrc/naqs_host.cpp) when available,
+    else pure numpy.
+    """
     import scipy.sparse as sp
 
     basis = np.asarray(basis, dtype=np.uint64)
+
+    from naqs_tpu import native
+
+    coo = native.assemble_h_coo(terms, basis)
+    if coo is not None:
+        rows, cols, vals = coo
+        n = len(basis)
+        return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
     n = len(basis)
     rows = [np.arange(n, dtype=np.int64)]
     cols = [np.arange(n, dtype=np.int64)]

@@ -27,6 +27,11 @@ def _spin_combos(n_slots: int, n_occ: int, stride_weights: np.ndarray) -> np.nda
     """All C(n_slots, n_occ) packed ints with n_occ bits set at the given weights."""
     if n_occ < 0 or n_occ > n_slots:
         return np.zeros((0,), dtype=np.uint64)
+    from naqs_tpu import native
+
+    fast = native.enumerate_combinations(n_slots, n_occ, stride_weights)
+    if fast is not None:
+        return fast
     out = np.fromiter(
         (
             np.uint64(sum(int(stride_weights[p]) for p in pos))
