@@ -183,7 +183,11 @@ def run(args=None) -> dict:
             reweight_by_psi=args.weight_by_psi,
             seed=seed + run_i,
         )
-        trainer = VMCTrainer(cfg, terms, hilbert, tc, save_loc=out_dir)
+        import jax as _jax
+
+        n_dev = args.devices if args.devices > 0 else len(_jax.devices())
+        trainer = VMCTrainer(cfg, terms, hilbert, tc, save_loc=out_dir,
+                             n_devices=n_dev)
         print(f"Model parameters: {count_parameters(trainer.params)}")
 
         log_exact = args.presolveH and mol.n_qubits < 28

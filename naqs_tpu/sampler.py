@@ -125,3 +125,70 @@ def sample(
     n_unique = jnp.sum(valid).astype(jnp.int32)
 
     return SampleBatch(states=states, counts=counts, n_unique=n_unique, overflow=overflow)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity"))
+def sample_density(
+    cfg: NAQSConfig,
+    params,
+    d_p: jnp.ndarray,
+    capacity: int,
+) -> SampleBatch:
+    """Deterministic density sampling: enumerate every configuration whose
+    probability mass exceeds `d_p` (beam search over shells).
+
+    The TPU-native equivalent of the reference's DensitySamplingOptimizer
+    support (energy.py:1058-1205; the sample_dP model path). Returned
+    `counts` hold the probability mass |psi|^2 of each state (not sample
+    multiplicities); overflow flags a beam wider than `capacity`.
+    """
+    s = cfg.n_shells
+    cap = capacity
+
+    a0 = jnp.zeros((cap,), dtype=jnp.uint32)
+    b0 = jnp.zeros((cap,), dtype=jnp.uint32)
+    prob0 = jnp.zeros((cap,), dtype=jnp.float64).at[0].set(1.0)
+    valid0 = jnp.zeros((cap,), dtype=bool).at[0].set(True)
+
+    def step(carry, j):
+        a, b, prob, valid, overflow = carry
+        shells = jnp.arange(s, dtype=jnp.uint32)
+        alpha = ((a[:, None] >> shells) & jnp.uint32(1)).astype(jnp.int32)
+        beta = ((b[:, None] >> shells) & jnp.uint32(1)).astype(jnp.int32)
+        _, mask, probs = amp_conditional_shell(cfg, params, j, alpha, beta)
+        child_prob = prob[:, None] * probs.astype(jnp.float64) * mask
+        child_valid = (child_prob >= d_p) & valid[:, None]
+        flat_prob = child_prob.reshape(-1)
+        flat_valid = child_valid.reshape(-1)
+        overflow = overflow | (jnp.sum(flat_valid) > cap)
+        order = jnp.argsort(~flat_valid)[:cap]
+        occ = (order % 4).astype(jnp.uint32)
+        parent = order // 4
+        new_valid = flat_valid[order]
+        a = jnp.where(new_valid, a[parent] | ((occ & 1) << j.astype(jnp.uint32)), 0)
+        b = jnp.where(new_valid, b[parent] | ((occ >> 1) << j.astype(jnp.uint32)), 0)
+        prob = jnp.where(new_valid, flat_prob[order], 0.0)
+        return (a, b, prob, new_valid, overflow), None
+
+    (a, b, prob, valid, overflow), _ = jax.lax.scan(
+        step, (a0, b0, prob0, valid0, jnp.array(False)),
+        jnp.arange(s, dtype=jnp.int32),
+    )
+
+    order = np.asarray(cfg.shell_order)
+    wa = jnp.asarray((np.uint64(1) << (2 * order.astype(np.uint64))), dtype=jnp.uint64)
+    wb = jnp.asarray(
+        (np.uint64(1) << (2 * order.astype(np.uint64) + np.uint64(1))), dtype=jnp.uint64
+    )
+    shells = jnp.arange(s, dtype=jnp.uint32)
+    alpha = ((a[:, None] >> shells) & jnp.uint32(1)).astype(jnp.uint64)
+    beta = ((b[:, None] >> shells) & jnp.uint32(1)).astype(jnp.uint64)
+    states = jnp.sum(alpha * wa + beta * wb, axis=-1, dtype=jnp.uint64)
+    states = jnp.where(valid, states, jnp.uint64(SENTINEL))
+    perm = jnp.argsort(states)
+    return SampleBatch(
+        states=states[perm],
+        counts=jnp.where(valid[perm], prob[perm], 0.0),
+        n_unique=jnp.sum(valid).astype(jnp.int32),
+        overflow=overflow,
+    )

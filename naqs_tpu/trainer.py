@@ -234,6 +234,7 @@ class VMCTrainer:
         hilbert: Hilbert,
         train_cfg: TrainConfig = TrainConfig(),
         save_loc: Optional[str] = None,
+        n_devices: int = 1,
     ):
         self.cfg = model_cfg
         self.tc = train_cfg
@@ -247,6 +248,16 @@ class VMCTrainer:
         self.opt_state = self.optimizer.init(self.params)
         self.n_samples = float(train_cfg.n_samples)
         self.capacity = int(train_cfg.n_unq_samples_max)
+        self.n_devices = int(n_devices)
+        self._sharded_step = None
+        if self.n_devices > 1:
+            from naqs_tpu.parallel import make_mesh, make_sharded_train_step
+
+            mesh = make_mesh(jax.devices()[: self.n_devices])
+            cap_per_dev = max(64, self.capacity // self.n_devices)
+            self._sharded_step = make_sharded_train_step(
+                model_cfg, self.optimizer, mesh, cap_per_dev
+            )
         self.n_steps = 0
         self.run_time = 0.0
         self.save_loc = save_loc
@@ -283,7 +294,41 @@ class VMCTrainer:
             f"{self.capacity} too small for this wavefunction's support?"
         )
 
+    def _step_sharded(self) -> dict:
+        """Multi-chip step: per-shard sampling + psum'd update, with the
+        sample-count controller applied from the returned metrics."""
+        t0 = time.time()
+        self.key, k = jax.random.split(self.key)
+        keys = jax.random.split(k, self.n_devices)
+        self.params, self.opt_state, metrics = self._sharded_step(
+            self.params, self.opt_state, self.dt, keys, jnp.float64(self.n_samples)
+        )
+        n_unq = int(metrics["n_unique"])
+        if bool(metrics["overflow"]):
+            self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
+        elif n_unq < self.tc.n_unq_samples_min:
+            self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
+        elif n_unq > self.tc.n_unq_samples_max:
+            self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
+        self.n_steps += 1
+        dt_step = time.time() - t0
+        self.run_time += dt_step
+        out = {
+            "e_loc": float(metrics["e_loc"]),
+            "e_loc_var": float(metrics["e_loc_var"]),
+            "n_unique": n_unq,
+            "n_samples": self.n_samples,
+            "time": dt_step,
+        }
+        self.log["E_LOC"].append((self.n_steps, out["e_loc"]))
+        self.log["E_LOC_VAR"].append((self.n_steps, out["e_loc_var"]))
+        self.log["N_UNIQUE_SAMP"].append((self.n_steps, out["n_unique"]))
+        self.log["TIME"].append((self.n_steps, self.run_time))
+        return out
+
     def step(self) -> dict:
+        if self._sharded_step is not None:
+            return self._step_sharded()
         t0 = time.time()
         batch = self.get_samples()
         self.params, self.opt_state, metrics = vmc_update(
@@ -470,3 +515,27 @@ class VMCTrainer:
             self.n_samples = meta["n_samples"]
             self.log = {k: [tuple(x) for x in v] for k, v in meta["log"].items()}
         return self
+
+
+def save_psi(trainer: "VMCTrainer", fname: str, normalise: bool = True, max_states: int = 1_000_000):
+    """Dump sorted wavefunction amplitudes/phases over the restricted basis
+    (reference save_psi, wavefunction.py:264-286): writes <fname>.txt
+    (amp, phase rows), <fname>_basis.txt (bitstrings), <fname>_basis_idxs.txt."""
+    import jax.numpy as jnp
+
+    basis = trainer.hilbert.basis
+    if len(basis) > max_states:
+        raise ValueError(f"basis too large to dump ({len(basis)} > {max_states})")
+    la, ph = log_psi(trainer.cfg, trainer.params, jnp.asarray(basis))
+    la = np.asarray(la, dtype=np.float64)
+    ph = np.asarray(ph, dtype=np.float64)
+    amps = np.exp(la - la.max())
+    if normalise:
+        amps = amps / np.sqrt(np.sum(amps**2))
+    order = np.argsort(amps)[::-1]
+    from naqs_tpu.utils.bits import np_unpack_bits
+
+    np.savetxt(f"{fname}.txt", np.stack([amps[order], ph[order]], 1), fmt="%.6e")
+    np.savetxt(f"{fname}_basis.txt", np_unpack_bits(basis[order], trainer.cfg.n_qubits), fmt="%i")
+    np.savetxt(f"{fname}_basis_idxs.txt", order, fmt="%i")
+    return fname

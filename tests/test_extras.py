@@ -1,0 +1,63 @@
+"""Density sampler, save_psi export, multi-device trainer path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import naqs_tpu as nq
+from naqs_tpu.models.nade import NAQSConfig, init_params, log_psi
+from naqs_tpu.sampler import sample_density
+from naqs_tpu.trainer import TrainConfig, VMCTrainer, save_psi
+
+
+def test_density_sampler_enumerates_support():
+    mol = nq.load_molecule("LiH", load_hamiltonian=False)
+    h = nq.Hilbert.for_molecule(mol)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     amp_hidden=(16,), phase_hidden=(8,), masking="full")
+    params = init_params(jax.random.key(0), cfg)
+    b = sample_density(cfg, params, jnp.float64(1e-3), 512)
+    nu = int(b.n_unique)
+    assert 0 < nu < 512 and not bool(b.overflow)
+    la, _ = log_psi(cfg, params, b.states[:nu])
+    p_model = np.exp(2 * np.asarray(la, dtype=np.float64))
+    np.testing.assert_allclose(np.asarray(b.counts[:nu]), p_model, rtol=1e-4)
+    assert np.all(p_model >= 1e-3 - 1e-9)
+    # completeness: every basis state above threshold is in the beam
+    la_all, _ = log_psi(cfg, params, jnp.asarray(h.basis))
+    p_all = np.exp(2 * np.asarray(la_all, dtype=np.float64))
+    expected = set(h.basis[p_all >= 1.001e-3].tolist())
+    got = set(np.asarray(b.states[:nu]).tolist())
+    assert expected <= got
+
+
+def test_save_psi_roundtrip(tmp_path):
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=4, sectors=h.sectors, amp_hidden=(8,),
+                     phase_hidden=(8,), masking="full")
+    tr = VMCTrainer(cfg, terms, h, TrainConfig(seed=0))
+    fname = str(tmp_path / "psi")
+    save_psi(tr, fname)
+    psi = np.loadtxt(fname + ".txt")
+    basis = np.loadtxt(fname + "_basis.txt")
+    assert psi.shape == (4, 2)
+    assert basis.shape == (4, 4)
+    np.testing.assert_allclose(np.sum(psi[:, 0] ** 2), 1.0, atol=1e-5)
+    assert np.all(np.diff(psi[:, 0]) <= 1e-9)  # sorted descending
+
+
+def test_trainer_multi_device_path():
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=4, sectors=h.sectors, amp_hidden=(16,),
+                     phase_hidden=(16,), masking="partial")
+    tc = TrainConfig(n_train=450, n_samples=1e5, n_unq_samples_min=4,
+                     n_unq_samples_max=512, use_lr_schedule=False, lr=2e-3, seed=5)
+    tr = VMCTrainer(cfg, terms, h, tc, n_devices=8)
+    assert tr._sharded_step is not None
+    tr.run(450, output_freq=1000)
+    e = tr.exact_energy()
+    assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
