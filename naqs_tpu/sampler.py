@@ -48,6 +48,33 @@ class SampleBatch:
         return cls(*leaves)
 
 
+def _compact_children(a, b, child_weights, child_valid, j, cap):
+    """Scatter the valid (parent, occupation) children of a (cap, 4) frontier
+    expansion into a fresh cap-sized buffer, preserving order.
+
+    A cumsum-scatter, not a sort: compiles lean on TPU and keeps padding
+    all-zero. Children beyond capacity are dropped (callers flag overflow
+    via the returned n_children).
+    """
+    flat_w = child_weights.reshape(-1)
+    flat_valid = child_valid.reshape(-1)
+    n_children = jnp.sum(flat_valid)
+    dest = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    dest = jnp.where(flat_valid, jnp.minimum(dest, cap), cap)  # dummy slot cap
+
+    parent = jax.lax.broadcasted_iota(jnp.int32, (cap, 4), 0).reshape(-1)
+    occ = jax.lax.broadcasted_iota(jnp.int32, (cap, 4), 1).reshape(-1).astype(jnp.uint32)
+    ju = j.astype(jnp.uint32)
+    a_vals = a[parent] | ((occ & jnp.uint32(1)) << ju)
+    b_vals = b[parent] | ((occ >> jnp.uint32(1)) << ju)
+
+    a_new = jnp.zeros((cap + 1,), a.dtype).at[dest].set(a_vals)[:cap]
+    b_new = jnp.zeros((cap + 1,), b.dtype).at[dest].set(b_vals)[:cap]
+    w_new = jnp.zeros((cap + 1,), flat_w.dtype).at[dest].set(flat_w)[:cap]
+    valid_new = jnp.arange(cap) < jnp.minimum(n_children, cap)
+    return a_new, b_new, w_new, valid_new, n_children
+
+
 @partial(jax.jit, static_argnames=("cfg", "capacity"))
 def sample(
     cfg: NAQSConfig,
@@ -86,19 +113,9 @@ def sample(
         child_counts = child_counts * mask                    # drop unphysical
         child_valid = (child_counts > 0) & valid[:, None]
 
-        flat_counts = child_counts.reshape(-1)
-        flat_valid = child_valid.reshape(-1)
-        n_children = jnp.sum(flat_valid)
+        new = _compact_children(a, b, child_counts, child_valid, j, cap)
+        a, b, counts, new_valid, n_children = new
         overflow = overflow | (n_children > cap)
-
-        # compact: valid children first (stable order irrelevant; final sort later)
-        order = jnp.argsort(~flat_valid)[:cap]
-        occ = (order % 4).astype(jnp.uint32)
-        parent = order // 4
-        new_valid = flat_valid[order]
-        a = jnp.where(new_valid, a[parent] | ((occ & 1) << j.astype(jnp.uint32)), 0)
-        b = jnp.where(new_valid, b[parent] | ((occ >> 1) << j.astype(jnp.uint32)), 0)
-        counts = jnp.where(new_valid, flat_counts[order], 0.0)
         return (a, b, counts, new_valid, overflow), None
 
     (a, b, counts, valid, overflow), _ = jax.lax.scan(
@@ -158,16 +175,10 @@ def sample_density(
         _, mask, probs = amp_conditional_shell(cfg, params, j, alpha, beta)
         child_prob = prob[:, None] * probs.astype(jnp.float64) * mask
         child_valid = (child_prob >= d_p) & valid[:, None]
-        flat_prob = child_prob.reshape(-1)
-        flat_valid = child_valid.reshape(-1)
-        overflow = overflow | (jnp.sum(flat_valid) > cap)
-        order = jnp.argsort(~flat_valid)[:cap]
-        occ = (order % 4).astype(jnp.uint32)
-        parent = order // 4
-        new_valid = flat_valid[order]
-        a = jnp.where(new_valid, a[parent] | ((occ & 1) << j.astype(jnp.uint32)), 0)
-        b = jnp.where(new_valid, b[parent] | ((occ >> 1) << j.astype(jnp.uint32)), 0)
-        prob = jnp.where(new_valid, flat_prob[order], 0.0)
+        a, b, prob, new_valid, n_children = _compact_children(
+            a, b, child_prob, child_valid, j, cap
+        )
+        overflow = overflow | (n_children > cap)
         return (a, b, prob, new_valid, overflow), None
 
     (a, b, prob, valid, overflow), _ = jax.lax.scan(
