@@ -59,6 +59,7 @@ class NAQSConfig:
     aggregate_phase: bool = False  # False -> one global phase net (production)
     num_lut: int = 0               # leading shells use lookup-table conditionals
     combined_amp_phase: bool = False  # one trunk emits amp+phase outputs
+    phase_activation: Optional[str] = None  # none|softsign|tanh|hardtanh|sin|sigmoid
     shell_order: Tuple[int, ...] = ()  # model shell j <- state shell order[j]
     param_dtype: str = "float32"
 
@@ -268,6 +269,28 @@ def occupation_mask(cfg: NAQSConfig, ca, cb, j=None):
     return mask
 
 
+def scaled_phase_activation(name: str, x: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """Scaled phase activations (reference activations.py:81-149): map raw
+    outputs into [-pi, pi]-ish ranges; where the amplitude mask leaves only
+    one option (deterministic output), the phase is pinned to 0."""
+    if name == "softsign":
+        y = jnp.pi * x / (1.0 + jnp.abs(x))
+    elif name == "tanh":
+        y = jnp.pi * jnp.tanh(x)
+    elif name == "hardtanh":
+        y = jnp.pi * jnp.clip(x, -1.0, 1.0)
+    elif name == "sin":
+        y = jnp.pi * jnp.sin(x) ** 2
+    elif name == "sigmoid":
+        y = jnp.pi * jax.nn.sigmoid(x)
+    else:
+        raise ValueError(f"unknown phase activation '{name}'")
+    if mask is not None and y.shape[-1] == mask.shape[-1]:
+        deterministic = jnp.sum(mask, axis=-1, keepdims=True) == 1
+        y = jnp.where(deterministic & mask, 0.0, y)
+    return y
+
+
 def masked_log_softmax_half(logits4: jnp.ndarray, mask) -> jnp.ndarray:
     """0.5 * log_softmax(2x) with -inf-style masking (SoftmaxLogProbAmps,
     reference activations.py:40-46). Returns masked log-amplitudes."""
@@ -344,6 +367,8 @@ def _tables(cfg: NAQSConfig, params, alpha, beta, st):
         log_amp = masked_log_softmax_half(logits4, mask)
 
     # --- phase head
+    if cfg.phase_activation is not None:
+        raw_phase = scaled_phase_activation(cfg.phase_activation, raw_phase, mask)
     if cfg.use_phase_spin_sym:
         phase4 = raw_phase[..., jnp.asarray([0, 1, 1, 2])]
         # exchange phase shift pi*(N01 mod 2) on the canonical-swapped partner

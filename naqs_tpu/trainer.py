@@ -473,6 +473,14 @@ class VMCTrainer:
         w = eigsh(H, k=1, which="SA")[0]
         return float(w[0]), nu
 
+    def save_log(self, fname: str = "log"):
+        """Persist metrics as JSONL + pandas pickle (reference energy.py:511)."""
+        from naqs_tpu.utils.profiling import save_log as _save_log
+
+        assert self.save_loc, "save_loc not set"
+        os.makedirs(self.save_loc, exist_ok=True)
+        return _save_log(self.log, os.path.join(self.save_loc, fname))
+
     # -- checkpointing
     def save(self, fname: str = "checkpoint"):
         from flax import serialization
