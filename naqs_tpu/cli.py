@@ -66,6 +66,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="one global phase net instead of per-shell nets")
     p.add_argument("-no_restrictedH", action="store_true",
                    help="do not hard-restrict the ansatz to valid electron counts")
+    p.add_argument("-sr", action="store_true",
+                   help="stochastic-reconfiguration (natural gradient) updates")
+    p.add_argument("-sr_damping", type=float, default=1e-3)
+    p.add_argument("-sr_cg_iters", type=int, default=50)
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")
     p.add_argument("-devices", type=int, default=0,
@@ -181,6 +185,9 @@ def run(args=None) -> dict:
             n_unq_samples_min=args.n_unq_samps_min,
             n_unq_samples_max=args.n_unq_samps_max,
             reweight_by_psi=args.weight_by_psi,
+            use_sr=args.sr,
+            sr_damping=args.sr_damping,
+            sr_cg_iters=args.sr_cg_iters,
             seed=seed + run_i,
         )
         import jax as _jax

@@ -1,0 +1,87 @@
+"""Stochastic reconfiguration (natural-gradient) VMC updates, matrix-free.
+
+The reference ships a Kronecker-factored second-order optimizer
+(KFACOptimizer, src/optimizer/utils.py:19-268 — wired but unused by its
+production scripts). For VMC the canonical second-order method is stochastic
+reconfiguration: precondition the energy gradient with the quantum Fisher
+matrix S = Re(<conj(O) O^T> - <conj(O)><O>^T), O_k = d log psi / d theta_k.
+
+TPU-first: S is never materialized. S@v products are one jvp + one vjp over
+the sampled batch; (S + damping I) x = grad is solved with conjugate
+gradients. Cost per step ~ (2 * cg_iters + 2) model passes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from naqs_tpu.models.nade import NAQSConfig, log_psi
+from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
+from naqs_tpu.sampler import SampleBatch
+
+
+@partial(jax.jit, static_argnames=("cfg", "cg_iters"))
+def sr_update(
+    cfg: NAQSConfig,
+    params,
+    dt: DeviceTerms,
+    batch: SampleBatch,
+    lr: jnp.ndarray,
+    damping: jnp.ndarray,
+    cg_iters: int = 50,
+):
+    """One SR step. Returns (new_params, metrics)."""
+    live = jnp.arange(batch.states.shape[0]) < batch.n_unique
+    flat0, unravel = ravel_pytree(params)
+
+    def f(flat):
+        la, ph = log_psi(cfg, unravel(flat), batch.states)
+        return la.astype(jnp.float64), ph.astype(jnp.float64)
+
+    la, ph = f(flat0)
+    w = jnp.where(live, batch.counts, 0.0)
+    w = w / jnp.sum(w)
+
+    e_re, e_im = local_energy(
+        dt, batch.states, la.astype(jnp.float32), ph.astype(jnp.float32),
+        batch.n_unique,
+    )
+    e_re = jnp.where(live, e_re, 0.0)
+    e_im = jnp.where(live, e_im, 0.0)
+    e_mean = jnp.sum(w * e_re)
+    e_mean_im = jnp.sum(w * e_im)
+    e_var = jnp.sum(w * (e_re - e_mean) ** 2)
+    d_re = e_re - e_mean
+    d_im = e_im - e_mean_im
+
+    # energy gradient: 2 Re <conj(O) dE> = vjp with cotangents (w*dRe, w*dIm)
+    _, vjp = jax.vjp(f, flat0)
+    grad = (2.0 * vjp((w * d_re, w * d_im))[0]).astype(flat0.dtype)
+    damping = damping.astype(flat0.dtype)
+
+    def s_matvec(v):
+        # S v: jvp (O v, centered), then weighted vjp. Centering the jvp
+        # output also kills the <O> outer-product term because the weighted
+        # cotangents then sum to zero.
+        u_la, u_ph = jax.jvp(f, (flat0,), (v,))[1]
+        u_la = u_la - jnp.sum(w * u_la)
+        u_ph = u_ph - jnp.sum(w * u_ph)
+        sv = vjp((w * u_la, w * u_ph))[0].astype(flat0.dtype)
+        return sv + damping * v
+
+    x, _ = jax.scipy.sparse.linalg.cg(
+        s_matvec, grad, x0=grad, maxiter=cg_iters, tol=1e-10
+    )
+    new_flat = flat0 - lr.astype(flat0.dtype) * x
+    metrics = {
+        "e_loc": e_mean,
+        "e_loc_var": e_var,
+        "sr_dx_norm": jnp.linalg.norm(x),
+        "grad_norm": jnp.linalg.norm(grad),
+    }
+    return unravel(new_flat), metrics

@@ -89,6 +89,9 @@ class TrainConfig:
     n_unq_samples_min: int = 1000
     n_unq_samples_max: int = 4096   # also the device buffer capacity
     reweight_by_psi: bool = False
+    use_sr: bool = False            # stochastic-reconfiguration natural gradient
+    sr_damping: float = 1e-3
+    sr_cg_iters: int = 50
     seed: int = 0
 
     def make_optimizer(self, has_lut: bool = False) -> optax.GradientTransformation:
@@ -326,20 +329,36 @@ class VMCTrainer:
         self.log["TIME"].append((self.n_steps, self.run_time))
         return out
 
+    def _current_lr(self) -> float:
+        if not self.tc.use_lr_schedule:
+            return self.tc.lr
+        half = max(self.tc.n_train // 2, 1)
+        return self.tc.lr if self.n_steps < half else self.tc.lr_final
+
     def step(self) -> dict:
         if self._sharded_step is not None:
             return self._step_sharded()
         t0 = time.time()
         batch = self.get_samples()
-        self.params, self.opt_state, metrics = vmc_update(
-            self.cfg,
-            self.optimizer,
-            self.params,
-            self.opt_state,
-            self.dt,
-            batch,
-            self.tc.reweight_by_psi,
-        )
+        if self.tc.use_sr:
+            from naqs_tpu.sr import sr_update
+
+            self.params, metrics = sr_update(
+                self.cfg, self.params, self.dt, batch,
+                jnp.float64(self._current_lr()),
+                jnp.float64(self.tc.sr_damping),
+                cg_iters=self.tc.sr_cg_iters,
+            )
+        else:
+            self.params, self.opt_state, metrics = vmc_update(
+                self.cfg,
+                self.optimizer,
+                self.params,
+                self.opt_state,
+                self.dt,
+                batch,
+                self.tc.reweight_by_psi,
+            )
         self.n_steps += 1
         dt_step = time.time() - t0
         self.run_time += dt_step

@@ -1,0 +1,48 @@
+"""Stochastic-reconfiguration (natural gradient) training."""
+
+import numpy as np
+
+import naqs_tpu as nq
+from naqs_tpu.models.nade import NAQSConfig
+from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+
+def test_sr_trains_h2_to_chemical_accuracy():
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=4, sectors=h.sectors, amp_hidden=(16,),
+                     phase_hidden=(16,), masking="full")
+    tc = TrainConfig(n_train=200, n_samples=1e5, n_unq_samples_min=4,
+                     n_unq_samples_max=16, use_sr=True, sr_damping=1e-2,
+                     sr_cg_iters=30, lr=1e-1, use_lr_schedule=False, seed=4)
+    tr = VMCTrainer(cfg, terms, h, tc)
+    tr.pre_flatten(30)
+    tr.run(200, output_freq=1000)
+    e = tr.exact_energy()
+    assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
+
+
+def test_sr_beats_adam_per_step():
+    """Natural gradient must make materially more progress per step than Adam
+    at the reference LR on the same budget."""
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     amp_hidden=(16,), phase_hidden=(16,))
+
+    def run(use_sr):
+        tc = TrainConfig(
+            n_train=80, n_samples=1e5, n_unq_samples_min=32,
+            n_unq_samples_max=256, use_sr=use_sr, sr_cg_iters=30,
+            lr=5e-2 if use_sr else 1e-3, use_lr_schedule=False, seed=0,
+        )
+        tr = VMCTrainer(cfg, terms, h, tc)
+        tr.pre_flatten(30)
+        tr.run(80, output_freq=1000)
+        return tr.exact_energy()
+
+    e_sr = run(True)
+    e_adam = run(False)
+    assert e_sr < e_adam - 0.02, (e_sr, e_adam)
