@@ -259,3 +259,50 @@ def local_energy_np(
 
 # re-export the offline JW pipeline at the location molecule.py expects
 from naqs_tpu.jw import jordan_wigner_from_integrals  # noqa: E402,F401
+
+
+def freeze_core(terms: PauliTerms, n_occ: int) -> PauliTerms:
+    """Project the Hamiltonian onto the subspace where the first `n_occ`
+    qubits are frozen occupied (the reference's N_occ frozen-core padding,
+    hilbert.py:331-342 / hamiltonian.py:394-396), and renumber the remaining
+    qubits to start at 0.
+
+    Terms flipping a frozen qubit are dropped; Z-factors on frozen qubits
+    contribute a fixed (-1)^{popcount} sign folded into the coefficient.
+    """
+    if n_occ == 0:
+        return terms
+    frozen = np.uint64((1 << n_occ) - 1)
+    shift = np.uint64(n_occ)
+
+    def fold(xy, yz, coeff):
+        keep = (xy & frozen) == 0
+        xy, yz, coeff = xy[keep], yz[keep], coeff[keep]
+        sign = np_parity_pm1(yz & frozen).astype(np.float64)
+        return xy >> shift, yz >> shift, coeff * sign
+
+    dxy, dyz, dco = fold(np.zeros_like(terms.diag_yz), terms.diag_yz, terms.diag_coeff)
+    xy, yz, coeff = fold(terms.xy, terms.yz, terms.coeff)
+
+    # re-merge duplicates through the standard compiler path
+    out: dict = {}
+    for m_xy, m_yz, c in zip(
+        np.concatenate([np.zeros_like(dyz), xy]),
+        np.concatenate([dyz, yz]),
+        np.concatenate([dco, coeff]),
+    ):
+        ops = []
+        q = 0
+        bits = int(m_xy) | int(m_yz)
+        while bits:
+            if bits & 1:
+                in_xy = (int(m_xy) >> q) & 1
+                in_yz = (int(m_yz) >> q) & 1
+                ops.append((q, "Y" if in_xy and in_yz else "X" if in_xy else "Z"))
+            bits >>= 1
+            q += 1
+        key = tuple(ops)
+        # undo the i^nY folding so compile_pauli_terms can redo it
+        n_y = sum(1 for _, p in ops if p == "Y")
+        out[key] = out.get(key, 0.0) + complex(c) / (1j**n_y).real
+    return compile_pauli_terms(out, terms.n_qubits - n_occ)

@@ -64,3 +64,23 @@ def test_local_energy_oracle_consistency():
     sel = np.abs(psi) > 1e-8  # E_loc undefined where psi ~ 0
     np.testing.assert_allclose(e_loc.real[sel], w[0], atol=1e-9)
     np.testing.assert_allclose(e_loc.imag[sel], 0.0, atol=1e-9)
+
+
+def test_freeze_core_matches_projected_hamiltonian():
+    from naqs_tpu import Hilbert
+    from naqs_tpu.hamiltonian import freeze_core
+
+    mol = load_molecule("LiH")
+    terms = compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    n_occ = 2
+    ft = freeze_core(terms, n_occ)
+    assert ft.n_qubits == mol.n_qubits - n_occ
+    h_red = Hilbert(n_qubits=mol.n_qubits - n_occ, sectors=((1, 1),))
+    frozen_bits = np.uint64((1 << n_occ) - 1)
+    basis_full = np.sort((h_red.basis << np.uint64(n_occ)) | frozen_bits)
+    H_full = assemble_dense_hamiltonian_np(terms, basis_full)
+    H_red = assemble_dense_hamiltonian_np(ft, h_red.basis)
+    np.testing.assert_allclose(H_red, H_full, atol=1e-12)
+    # frozen-core ground state is variational wrt full FCI
+    e_red = np.linalg.eigvalsh(H_red)[0]
+    assert mol.fci_energy < e_red < mol.fci_energy + 5e-3
