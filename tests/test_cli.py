@@ -1,0 +1,53 @@
+"""CLI driver end-to-end (subprocess, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "naqs_tpu.cli", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
+    )
+
+
+def test_cli_h2_end_to_end(tmp_path):
+    r = _run_cli(
+        ["-m", "H2", "-n_train", "150", "-n_samps", "100000",
+         "-n_unq_samps_min", "4", "-n_unq_samps_max", "16", "-n_hid", "16",
+         "-n_pretrain", "20", "-single_phase", "-s", "7",
+         "-output_freq", "100", "-o", str(tmp_path / "out"), "-devices", "1"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(tmp_path / "out" / "summary.json"))
+    assert summary["vmc_fci_chem_acc"] is True
+    assert os.path.exists(tmp_path / "out" / "checkpoint.msgpack")
+    assert os.path.exists(tmp_path / "out" / "training.png")
+
+
+def test_cli_rejects_conflicting_masks(tmp_path):
+    r = _run_cli(["-m", "H2", "-no_mask_psi", "-full_mask_psi"], cwd=tmp_path)
+    assert r.returncode != 0
+    assert "at most one" in r.stderr
+
+
+def test_cli_exact_sampling_mode(tmp_path):
+    r = _run_cli(
+        ["-m", "H2", "-n_train", "150", "-exact_sampling", "-n_hid", "16",
+         "-lr", "0.005", "-s", "3", "-o", str(tmp_path / "out2"),
+         "-output_freq", "100", "-devices", "1"],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(tmp_path / "out2" / "summary.json"))
+    assert summary["e_exact_final"] < -0.95
