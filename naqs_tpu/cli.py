@@ -107,7 +107,6 @@ def run(args=None) -> dict:
         parser.error("at most one of -no_mask_psi / -full_mask_psi")
 
     import jax
-    import jax.numpy as jnp
 
     import naqs_tpu as nq
     from naqs_tpu.models.nade import NAQSConfig, count_parameters

@@ -31,8 +31,8 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Literal, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Literal, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

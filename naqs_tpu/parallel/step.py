@@ -15,9 +15,6 @@ this layer is new, designed TPU-first: a 1-D device mesh over axis "dp",
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

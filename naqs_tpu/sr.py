@@ -14,8 +14,6 @@ gradients. Cost per step ~ (2 * cg_iters + 2) model passes.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree

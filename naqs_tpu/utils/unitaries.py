@@ -12,8 +12,6 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from naqs_tpu.utils.bits import np_popcount
-
 # single-qubit change-of-basis rows: basis[b] of H/S^dagger-H acting on |b>
 _H = np.array([[1, 1], [1, -1]], dtype=np.complex128) / np.sqrt(2)  # X basis
 _SH = np.array([[1, 1], [1j, -1j]], dtype=np.complex128).conj().T / np.sqrt(2)  # Y
