@@ -402,18 +402,34 @@ class VMCTrainer:
                 callback(self, out)
         return self
 
-    def run_exact(self, n_epochs: int, output_freq: int = 25):
+    def run_exact(self, n_epochs: int, output_freq: int = 25,
+                  batch_size: Optional[int] = None):
         """Train with exact |psi|^2 weights over the entire restricted basis
-        (reference ExactSamplingOptimizer, energy.py:540-729)."""
-        basis = jnp.asarray(self.hilbert.basis)
-        batch = SampleBatch(
-            states=basis,
-            counts=jnp.ones((len(self.hilbert.basis),), jnp.float64),
-            n_unique=jnp.int32(len(self.hilbert.basis)),
-            overflow=jnp.array(False),
-        )
+        (reference ExactSamplingOptimizer, energy.py:540-729). With
+        `batch_size`, each step uses a random minibatch of basis states
+        (the reference's DataLoader mode, energy.py:686)."""
+        basis_np = self.hilbert.basis
+        rng = np.random.default_rng(self.tc.seed + 1)
+
+        def make_batch(states):
+            states = np.sort(states)
+            return SampleBatch(
+                states=jnp.asarray(states),
+                counts=jnp.ones((len(states),), jnp.float64),
+                n_unique=jnp.int32(len(states)),
+                overflow=jnp.array(False),
+            )
+
+        full_batch = None
+        if not batch_size or batch_size >= len(basis_np):
+            full_batch = make_batch(basis_np)
         for i in range(n_epochs):
             t0 = time.time()
+            if full_batch is not None:
+                batch = full_batch
+            else:
+                sel = rng.choice(len(basis_np), size=batch_size, replace=False)
+                batch = make_batch(basis_np[sel])
             self.params, self.opt_state, metrics = vmc_update(
                 self.cfg, self.optimizer, self.params, self.opt_state,
                 self.dt, batch, reweight_by_psi=True,
