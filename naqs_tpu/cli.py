@@ -74,6 +74,8 @@ def get_parser() -> argparse.ArgumentParser:
                    help="train over the entire restricted basis with |psi|^2 weights")
     p.add_argument("-devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
+    p.add_argument("-profile", action="store_true",
+                   help="capture a jax profiler trace of the first 20 steps")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-s", "--seed", type=int, default=-1)
     return p
@@ -222,6 +224,11 @@ def run(args=None) -> dict:
 
         print("Training...")
         save_freq = args.save_freq if args.save_freq > 0 else None
+        if args.profile:
+            from naqs_tpu.utils.profiling import profile_trace
+
+            with profile_trace(os.path.join(out_dir, "profile")):
+                trainer.run(min(20, args.n_train), output_freq=args.output_freq)
         if args.exact_sampling:
             trainer.run_exact(args.n_train, output_freq=args.output_freq)
         else:
@@ -261,6 +268,7 @@ def run(args=None) -> dict:
             print(f"  {k}: {v}")
         with open(os.path.join(out_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
+        trainer.save_log()
         try:
             plot_training(trainer, mol, fname=os.path.join(out_dir, "training.png"))
         except Exception as exc:  # plotting must never kill a finished run
