@@ -218,7 +218,8 @@ def _quadratic_energy_chunk(
     dt: DeviceTerms,
     s: jnp.ndarray,
     states: jnp.ndarray,
-    rec: jnp.ndarray,
+    la_all: jnp.ndarray,      # (U,) f32 shifted log-amps (differentiable)
+    ph_all: jnp.ndarray,      # (U,) f32
     my_log_amp: jnp.ndarray,  # (C,) f32, shifted so global max == 0
     my_phase: jnp.ndarray,
     n_valid: jnp.ndarray,
@@ -226,13 +227,25 @@ def _quadratic_energy_chunk(
 ):
     """sum_{m in chunk, k} psi_m H_{mk} psi_k in the symmetric product form
     exp(la_m + la_k) * cos(ph_k - ph_m): every factor <= 1, so this is
-    overflow-free for arbitrary amplitude dynamic range (unlike ratios)."""
+    overflow-free for arbitrary amplitude dynamic range (unlike ratios).
+
+    Unlike the training-path lookup (int32 record bitcasts, which are NOT
+    differentiable), psi values are gathered from the float arrays directly
+    so autodiff through this evaluator yields the true energy gradient.
+    """
     w_m = jnp.where(my_live, jnp.exp(2.0 * my_log_amp.astype(jnp.float64)), 0.0)
     num_diag = jnp.sum(w_m * diagonal_energy(dt, s))
 
     coupled = s[:, None] ^ dt.xy_unique[None, :]
-    found, g_la, g_ph = _lookup(states, rec, n_valid, coupled)
-    found = found & my_live[:, None]
+    n = states.shape[0]
+    pos = jnp.searchsorted(states, coupled.ravel(), method="sort").reshape(
+        coupled.shape
+    )
+    found_n = pos < n_valid
+    pos = jnp.minimum(pos, n - 1)
+    found = (states[pos] == coupled) & found_n & my_live[:, None]
+    g_la = la_all[pos]
+    g_ph = ph_all[pos]
     amp_prod = jnp.where(found, jnp.exp(g_la + my_log_amp[:, None]), 0.0).astype(
         jnp.float32
     )
@@ -272,11 +285,10 @@ def quadratic_energy(
     la_p = jnp.pad(la, (0, pad), constant_values=-100.0)
     ph_p = jnp.pad(phase, (0, pad))
     live_p = jnp.pad(live, (0, pad))
-    rec = pack_table(states, la, phase)
 
     def body(args):
         s, l, p, lv = args
-        return _quadratic_energy_chunk(dt, s, states, rec, l, p, n_valid, lv)
+        return _quadratic_energy_chunk(dt, s, states, la, phase, l, p, n_valid, lv)
 
     num, den = jax.lax.map(
         body,
