@@ -130,6 +130,9 @@ def run(args=None) -> dict:
     for run_i in range(args.number):
         out_dir = out_root if args.number == 1 else f"{out_root}_{run_i}"
         os.makedirs(out_dir, exist_ok=True)
+        # provenance (reference export_script, experiments/utils/functional.py:6)
+        with open(os.path.join(out_dir, "args.json"), "w") as f:
+            json.dump({**vars(args), "resolved_seed": seed + run_i}, f, indent=2)
 
         hilbert = nq.Hilbert.for_molecule(mol, restrict_to_ms=True)
         m_s = abs(mol.n_alpha_electrons - mol.n_beta_electrons) // 2
