@@ -60,6 +60,7 @@ class NAQSConfig:
     num_lut: int = 0               # leading shells use lookup-table conditionals
     combined_amp_phase: bool = False  # one trunk emits amp+phase outputs
     phase_activation: Optional[str] = None  # none|softsign|tanh|hardtanh|sin|sigmoid
+    input_encoding: Literal["binary", "integer"] = "binary"
     shell_order: Tuple[int, ...] = ()  # model shell j <- state shell order[j]
     param_dtype: str = "float32"
 
@@ -88,6 +89,10 @@ class NAQSConfig:
 
     @property
     def in_width(self) -> int:
+        # binary: 2(S-1) signed bits; integer: one value per previous shell
+        # (reference InputEncoding, nade.py:285-291,519-538)
+        if self.input_encoding == "integer":
+            return max(self.n_shells - 1, 1)
         return 2 * max(self.n_shells - 1, 1)
 
     @property
@@ -134,16 +139,18 @@ def init_params(key, cfg: NAQSConfig) -> dict:
     if cfg.num_lut:
         # explicit lookup-table conditionals for the first num_lut model
         # shells (reference OrbitalLUT, nade.py:117-155); one learnable row
-        # per canonicalized input bit-pattern
+        # per canonicalized input pattern
+        base_amp = _lut_base(cfg, cfg.use_amp_spin_sym)
         keys = jax.random.split(k_lut, cfg.num_lut)
         params["lut"] = [
-            jax.random.normal(keys[j], (4**j, n_amp_out), cfg.dtype)
+            jax.random.normal(keys[j], (base_amp**j, n_amp_out), cfg.dtype)
             for j in range(cfg.num_lut)
         ]
         if cfg.aggregate_phase and not cfg.combined_amp_phase:
+            base_ph = _lut_base(cfg, cfg.use_phase_spin_sym)
             keys2 = jax.random.split(jax.random.fold_in(k_lut, 1), cfg.num_lut)
             params["lut_phase"] = [
-                jax.random.normal(keys2[j], (4**j, cfg.n_phase_out), cfg.dtype)
+                jax.random.normal(keys2[j], (base_ph**j, cfg.n_phase_out), cfg.dtype)
                 for j in range(cfg.num_lut)
             ]
     return params
@@ -208,16 +215,24 @@ def _signed(bits):
 
 
 def shell_inputs(cfg: NAQSConfig, alpha, beta, canonical: bool):
-    """(B, S, 2(S-1)) padded signed inputs for every shell.
+    """(B, S, in_width) padded inputs for every shell.
 
-    Slot layout per shell j: [first substring (S-1 slots), second substring].
-    With `canonical`, the lexicographically-smaller spin substring goes first
-    (spin-exchange-invariant input, reference nade.py:519-530).
+    binary encoding: signed +-1 bits, layout [first substring (S-1 slots),
+    second substring]; with `canonical`, the lexicographically-smaller spin
+    substring goes first (spin-exchange-invariant input, nade.py:519-530).
+    integer encoding: one value per previous shell — exchange-invariant
+    occupation sum a+b-1 when canonical, else 2a+b (nade.py:521-536).
     """
     s = cfg.n_shells
     causal = (
         jnp.arange(s - 1)[None, :] < jnp.arange(s)[:, None]
     )  # (S, S-1): slot t live for shell j iff t < j
+    if cfg.input_encoding == "integer":
+        if canonical:
+            v = (alpha + beta - 1).astype(jnp.float32)
+        else:
+            v = (2 * alpha + beta).astype(jnp.float32)
+        return v[..., None, : s - 1] * causal  # (B, S, S-1)
     a_in = _signed(alpha)[..., None, : s - 1] * causal  # (B, S, S-1)
     b_in = _signed(beta)[..., None, : s - 1] * causal
     if canonical:
@@ -302,22 +317,34 @@ def masked_log_softmax_half(logits4: jnp.ndarray, mask) -> jnp.ndarray:
 
 # ------------------------------------------------------------------- predict
 
-def _lut_index(cfg: NAQSConfig, x: jnp.ndarray, j: int) -> jnp.ndarray:
-    """Canonicalized-input LUT row index for shell j from the padded input
-    tensor row x (..., 2(S-1)) (reference OrbitalLUT._state2idx, nade.py:142)."""
+def _lut_base(cfg: NAQSConfig, canonical: bool) -> int:
+    """Digits per previous shell in a LUT row index."""
+    if cfg.input_encoding == "integer":
+        return 3 if canonical else 4
+    return 4  # two binary bits per shell
+
+
+def _lut_index(cfg: NAQSConfig, x: jnp.ndarray, j: int, canonical: bool = True) -> jnp.ndarray:
+    """LUT row index for shell j from the padded input tensor row x
+    (reference OrbitalLUT._state2idx, nade.py:142)."""
     s = cfg.n_shells
     if j == 0:
         return jnp.zeros(x.shape[:-1], dtype=jnp.int32)
+    if cfg.input_encoding == "integer":
+        base = _lut_base(cfg, canonical)
+        digits = jnp.round(x[..., :j]).astype(jnp.int32) + (1 if canonical else 0)
+        w = base ** jnp.arange(j, dtype=jnp.int32)
+        return jnp.sum(digits * w, axis=-1)
     first = (x[..., :j] > 0).astype(jnp.int32)
     second = (x[..., s - 1:s - 1 + j] > 0).astype(jnp.int32)
     w = (1 << jnp.arange(j, dtype=jnp.int32))
     return jnp.sum(first * w, axis=-1) + jnp.sum(second * (w << j), axis=-1)
 
 
-def _apply_luts(cfg, tables, x, raw):
+def _apply_luts(cfg, tables, x, raw, canonical=True):
     """Overwrite raw logits of shells < num_lut with LUT rows."""
     for j in range(cfg.num_lut):
-        idx = _lut_index(cfg, x[..., j, :], j)
+        idx = _lut_index(cfg, x[..., j, :], j, canonical)
         raw = raw.at[..., j, :].set(tables[j][idx])
     return raw
 
@@ -329,7 +356,7 @@ def _tables(cfg: NAQSConfig, params, alpha, beta, st):
     x_amp = shell_inputs(cfg, alpha, beta, canonical=cfg.use_amp_spin_sym)
     raw = _mlp_stack_apply(params["amp"], x_amp)
     if cfg.num_lut:
-        raw = _apply_luts(cfg, params["lut"], x_amp, raw)
+        raw = _apply_luts(cfg, params["lut"], x_amp, raw, cfg.use_amp_spin_sym)
 
     if cfg.combined_amp_phase:
         raw_amp = raw[..., : cfg.n_amp_out]
@@ -344,7 +371,9 @@ def _tables(cfg: NAQSConfig, params, alpha, beta, st):
         if cfg.aggregate_phase:
             raw_phase = _mlp_stack_apply(params["phase"], x_ph)  # (B, S, 3|4)
             if cfg.num_lut:
-                raw_phase = _apply_luts(cfg, params["lut_phase"], x_ph, raw_phase)
+                raw_phase = _apply_luts(
+                    cfg, params["lut_phase"], x_ph, raw_phase, cfg.use_phase_spin_sym
+                )
         else:
             # one global net evaluated on the final shell's input
             raw_last = _mlp_single_apply(params["phase"], 0, x_ph[..., s - 1, :])
@@ -425,7 +454,13 @@ def amp_conditional_shell(cfg: NAQSConfig, params, j, alpha, beta):
     pb = jnp.sum(beta.astype(jnp.int64) * w, axis=-1)
     order3 = jnp.where(pa > pb, 0, jnp.where(pa == pb, 1, 2)).astype(jnp.int32)
 
-    if cfg.use_amp_spin_sym:
+    if cfg.input_encoding == "integer":
+        if cfg.use_amp_spin_sym:
+            v = (alpha + beta - 1).astype(jnp.float32)
+        else:
+            v = (2 * alpha + beta).astype(jnp.float32)
+        x = v[..., : s - 1] * causal
+    elif cfg.use_amp_spin_sym:
         swap = (order3 == 0)[..., None]
         x = jnp.concatenate(
             [jnp.where(swap, b_in, a_in), jnp.where(swap, a_in, b_in)], axis=-1
@@ -439,7 +474,7 @@ def amp_conditional_shell(cfg: NAQSConfig, params, j, alpha, beta):
 
         def mk_branch(jj):
             def branch(x):
-                idx = _lut_index(cfg, x, jj)
+                idx = _lut_index(cfg, x, jj, cfg.use_amp_spin_sym)
                 return params["lut"][jj][idx].astype(raw.dtype)
             return branch
 

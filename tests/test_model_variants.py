@@ -76,3 +76,34 @@ def test_exact_sampling_training():
     tr.run_exact(300, output_freq=1000)
     e = tr.exact_energy()
     assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(input_encoding="integer"),
+    dict(input_encoding="integer", use_amp_spin_sym=False),
+    dict(input_encoding="integer", num_lut=2, aggregate_phase=True),
+])
+def test_integer_encoding(kw):
+    mol, h, cfg = _cfg(**kw)
+    params = init_params(jax.random.key(9), cfg)
+    la, _ = log_psi(cfg, params, jnp.asarray(h.basis))
+    total = float(jnp.sum(jnp.exp(2.0 * la)))
+    assert abs(total - 1.0) < 1e-4, total
+    if cfg.use_amp_spin_sym:
+        # exchange symmetry still holds with the integer encoding
+        from tests.test_model import _swap_spins
+
+        swapped = _swap_spins(h.basis, mol.n_qubits)
+        la2, _ = log_psi(cfg, params, jnp.asarray(swapped))
+        np.testing.assert_allclose(np.asarray(la), np.asarray(la2), atol=1e-5)
+    states = jnp.asarray(h.basis[:32])
+    tables, _ = shell_tables(cfg, params, states)
+    alpha, beta = split_spins(cfg, states)
+    for j in [0, 2, cfg.n_shells - 1]:
+        keep = jnp.arange(cfg.n_shells) < j
+        la_j, _, _ = amp_conditional_shell(
+            cfg, params, jnp.int32(j), alpha * keep, beta * keep
+        )
+        np.testing.assert_allclose(
+            np.asarray(la_j), np.asarray(tables[:, j]), atol=1e-5
+        )
