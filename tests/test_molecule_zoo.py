@@ -42,3 +42,24 @@ def test_molecule_loads_and_hf_diagonal(rel):
         na, nb = h.sector_counts(basis[:100])
         sector_set = set(h.sectors)
         assert all((int(a), int(b)) in sector_set for a, b in zip(na, nb))
+
+
+def test_widest_system_h2_ccpvtz():
+    """56 qubits (28 shells): packed-u64 and uint32-frontier limits hold."""
+    import jax
+    import jax.numpy as jnp
+
+    from naqs_tpu.models.nade import NAQSConfig, init_params, log_psi
+    from naqs_tpu.sampler import sample
+
+    mol = nq.load_molecule(os.path.join(MOL_ROOT, "H2_cc-pvtz"))
+    h = nq.Hilbert.for_molecule(mol)
+    assert mol.n_qubits == 56 and h.size == 784
+    cfg = NAQSConfig(n_qubits=56, sectors=h.sectors, amp_hidden=(8,),
+                     phase_hidden=(8,), masking="full")
+    params = init_params(jax.random.key(0), cfg)
+    la, _ = log_psi(cfg, params, jnp.asarray(h.basis))
+    assert abs(float(jnp.sum(jnp.exp(2 * la.astype(jnp.float64)))) - 1.0) < 1e-3
+    b = sample(cfg, params, jax.random.key(1), jnp.float64(1e4), 512)
+    nu = int(b.n_unique)
+    assert nu > 0 and np.all(h.contains(np.asarray(b.states[:nu])))
