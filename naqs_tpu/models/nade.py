@@ -160,11 +160,16 @@ def count_parameters(params) -> int:
     return int(sum(x.size for x in jax.tree_util.tree_leaves(params)))
 
 
+# full-f32 matmuls: the nets are tiny, and default bf16 MXU passes put a
+# ~1e-3 floor under log-amplitude resolution (the energies resolve 1e-6)
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _mlp_stack_apply(layers, x):
     """x: (..., n_stack, d_in) -> (..., n_stack, d_out); ReLU between layers."""
     n = len(layers)
     for li, lyr in enumerate(layers):
-        x = jnp.einsum("...si,sio->...so", x, lyr["w"]) + lyr["b"]
+        x = jnp.einsum("...si,sio->...so", x, lyr["w"], precision=_PRECISION) + lyr["b"]
         if li < n - 1:
             x = jax.nn.relu(x)
     return x
@@ -176,7 +181,7 @@ def _mlp_single_apply(layers, idx, x):
     for li, lyr in enumerate(layers):
         w = lyr["w"][idx] if lyr["w"].shape[0] > 1 else lyr["w"][0]
         b = lyr["b"][idx] if lyr["b"].shape[0] > 1 else lyr["b"][0]
-        x = x @ w + b
+        x = jnp.dot(x, w, precision=_PRECISION) + b
         if li < n - 1:
             x = jax.nn.relu(x)
     return x
