@@ -28,3 +28,20 @@ __version__ = "0.1.0"
 from naqs_tpu.utils.molecule import Molecule, load_molecule  # noqa: E402,F401
 from naqs_tpu.hamiltonian import PauliTerms, compile_pauli_terms  # noqa: E402,F401
 from naqs_tpu.utils.hilbert import Hilbert  # noqa: E402,F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing flax/optax at package import)
+    if name in ("NAQSConfig", "init_params", "log_psi"):
+        from naqs_tpu.models import nade
+
+        return getattr(nade, name)
+    if name in ("VMCTrainer", "TrainConfig"):
+        from naqs_tpu import trainer
+
+        return getattr(trainer, name)
+    if name in ("sample", "sample_density", "SampleBatch"):
+        from naqs_tpu import sampler
+
+        return getattr(sampler, name)
+    raise AttributeError(f"module 'naqs_tpu' has no attribute '{name}'")
