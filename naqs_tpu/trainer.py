@@ -467,6 +467,42 @@ class VMCTrainer:
                 self.params, opt_state, loss = step(self.params, opt_state, sl, tgt)
         return self
 
+    def pre_train_targets(self, states: np.ndarray, target_psi: np.ndarray,
+                          n_epochs: int, lr: float = 5e-3):
+        """Supervised warm start towards given complex amplitudes on given
+        states (generalizes the reference's pre_train target_amps path,
+        energy.py:799-828): fits log|psi| by MSE and the sign/phase by a
+        cosine loss."""
+        states = np.asarray(states, dtype=np.uint64)
+        order = np.argsort(states)
+        states = states[order]
+        t = np.asarray(target_psi)[order]
+        mag = np.abs(t)
+        mag = np.maximum(mag / max(mag.max(), 1e-300), 1e-30)
+        la_t = jnp.asarray(np.log(mag), dtype=jnp.float32)
+        ph_t = jnp.asarray(np.angle(t), dtype=jnp.float32)
+        s_dev = jnp.asarray(states)
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                la, ph = log_psi(self.cfg, p, s_dev)
+                # match log-amplitudes up to a common constant
+                d = la - la_t
+                loss_amp = jnp.mean((d - jnp.mean(d)) ** 2)
+                loss_ph = jnp.mean(1.0 - jnp.cos(ph - ph_t))
+                return loss_amp + loss_ph
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(n_epochs):
+            self.params, opt_state, loss = step(self.params, opt_state)
+        return float(loss)
+
     def pre_train_hf(self, n_epochs: int, lr: float = 5e-3):
         """BCE pre-training towards the Hartree-Fock state (pre_train with
         default target; energy.py:799-801)."""
