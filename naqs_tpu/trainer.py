@@ -503,6 +503,38 @@ class VMCTrainer:
             self.params, opt_state, loss = step(self.params, opt_state)
         return float(loss)
 
+    def warm_start_from_solve_h(self, n_epochs: int = 500, n_samps: Optional[float] = None,
+                                k_max: int = 10000, lr: float = 2e-3):
+        """Escape optimization traps by re-targeting the model at the ground
+        state of H restricted to the currently-sampled subspace: sample ->
+        diagonalize (host, native C++ assembly) -> supervised pre-train to
+        the eigenvector. Tractable where exact diagonalization is not
+        (k_max states), and uses only quantities the framework already has.
+        """
+        from scipy.sparse.linalg import eigsh
+
+        self.key, k = jax.random.split(self.key)
+        batch = sample(
+            self.cfg, self.params, k,
+            jnp.float64(n_samps or self.n_samples), self.capacity,
+        )
+        nu = int(batch.n_unique)
+        states = np.asarray(batch.states[:nu])
+        counts = np.asarray(batch.counts[:nu])
+        if nu > k_max:
+            top = np.argsort(counts)[-k_max:]
+            states = np.sort(states[top])
+        H = assemble_sparse_hamiltonian_np(self.terms, states)
+        if H.shape[0] < 3:
+            w, v = np.linalg.eigh(H.toarray())
+            vec = v[:, 0]
+            e0 = w[0]
+        else:
+            w, v = eigsh(H, k=1, which="SA")
+            vec, e0 = v[:, 0], w[0]
+        self.pre_train_targets(states, vec.astype(np.complex128), n_epochs, lr=lr)
+        return float(e0), len(states)
+
     def pre_train_hf(self, n_epochs: int, lr: float = 5e-3):
         """BCE pre-training towards the Hartree-Fock state (pre_train with
         default target; energy.py:799-801)."""

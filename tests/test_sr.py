@@ -46,3 +46,26 @@ def test_sr_beats_adam_per_step():
     e_sr = run(True)
     e_adam = run(False)
     assert e_sr < e_adam - 0.02, (e_sr, e_adam)
+
+
+def test_warm_start_from_solve_h_escapes_and_converges():
+    """Sample -> subspace FCI -> supervised warm start -> VMC reaches the
+    subspace ground state region quickly."""
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     amp_hidden=(16,), phase_hidden=(32,))
+    tc = TrainConfig(n_train=200, n_samples=1e6, n_unq_samples_min=64,
+                     n_unq_samples_max=256, use_lr_schedule=False, lr=1e-3, seed=6)
+    tr = VMCTrainer(cfg, terms, h, tc)
+    tr.pre_flatten(30)
+    e_flat = tr.exact_energy()
+    e_sub, n_used = tr.warm_start_from_solve_h(n_epochs=800)
+    # subspace ground state over the (broad) flat-sample support ~ FCI
+    assert e_sub < mol.hf_energy
+    e_after_warm = tr.exact_energy()
+    assert e_after_warm < e_flat - 2.0  # warm start moved far from flat init
+    tr.run(200, output_freq=1000)
+    e = tr.exact_energy()
+    assert e - mol.fci_energy < 2e-3, (e, e_sub, mol.fci_energy)
