@@ -99,13 +99,15 @@ def _read_scalar(f, key, cast):
 def _resolve_molecule_dir(name_or_path: str) -> str:
     if os.path.isdir(name_or_path):
         return name_or_path
-    base = os.path.basename(os.path.normpath(name_or_path))
-    for root in _DEFAULT_SEARCH_PATH:
-        if not root:
-            continue
-        cand = os.path.join(root, base)
-        if os.path.isdir(cand):
-            return cand
+    rel = os.path.normpath(name_or_path)
+    base = os.path.basename(rel)
+    for cand_name in (rel, base) if rel != base else (base,):
+        for root in _DEFAULT_SEARCH_PATH:
+            if not root:
+                continue
+            cand = os.path.join(root, cand_name)
+            if os.path.isdir(cand):
+                return cand
     raise FileNotFoundError(
         f"Molecule folder '{name_or_path}' not found (searched {_DEFAULT_SEARCH_PATH})."
     )
