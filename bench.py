@@ -26,7 +26,7 @@ def main():
     mol = nq.load_molecule("N2")
     h = nq.Hilbert.for_molecule(mol)
     terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
-    dt = DeviceTerms.from_terms(terms)
+    dt = DeviceTerms.from_terms(terms, hilbert=h)
 
     M = 8192
     rng = np.random.default_rng(0)

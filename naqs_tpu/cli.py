@@ -232,10 +232,13 @@ def run(args=None) -> dict:
 
             with profile_trace(os.path.join(out_dir, "profile")):
                 trainer.run(min(20, args.n_train), output_freq=args.output_freq)
+        # profiled steps count towards the budget so the two-phase LR boundary
+        # stays where a non-profiled run would put it
+        n_remaining = max(args.n_train - trainer.n_steps, 0)
         if args.exact_sampling:
-            trainer.run_exact(args.n_train, output_freq=args.output_freq)
+            trainer.run_exact(n_remaining, output_freq=args.output_freq)
         else:
-            trainer.run(args.n_train, output_freq=args.output_freq,
+            trainer.run(n_remaining, output_freq=args.output_freq,
                         log_exact_energy=log_exact, save_freq=save_freq)
         trainer.save()
 
@@ -248,12 +251,16 @@ def run(args=None) -> dict:
         window = min(25, max(len(e_loc_hist), 1))
         e_smooth = (np.convolve(e_loc_hist, np.ones(window) / window, "valid")
                     if len(e_loc_hist) >= window else e_loc_hist)
+        # trailing-window mean: an unbiased estimate of the final-state energy
+        # (the min of a noisy series is biased low and must not gate accuracy)
+        e_loc_trail = float(e_loc_hist[-window:].mean()) if len(e_loc_hist) else None
 
         summary = {
             "molecule": mol.name,
             "seed": seed + run_i,
             "e_loc_min": float(e_loc_hist.min()) if len(e_loc_hist) else None,
             "e_loc_smoothed_min": float(e_smooth.min()) if len(e_smooth) else None,
+            "e_loc_trailing_mean": e_loc_trail,
             "e_vmc_fci_subspace": e_fci_sub,
             "n_unique_final": n_unq,
             "hf_energy": mol.hf_energy,
@@ -267,7 +274,10 @@ def run(args=None) -> dict:
                 summary["e_exact_final"] = trainer.exact_energy()
             except Exception as exc:
                 print(f"(exact-energy evaluation failed: {exc})")
-        for lab, e in [("vmc", summary.get("e_exact_final", summary["e_loc_smoothed_min"])),
+        summary["vmc_estimator"] = (
+            "exact_psi_H_psi" if "e_exact_final" in summary else "e_loc_trailing_mean"
+        )
+        for lab, e in [("vmc", summary.get("e_exact_final", e_loc_trail)),
                        ("vmc_fci", e_fci_sub)]:
             if e is None or mol.fci_energy is None:
                 continue

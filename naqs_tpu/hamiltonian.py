@@ -252,7 +252,11 @@ def local_energy_np(
         h = np.zeros(len(states), dtype=np.float64)
         for yz, c in zip(yzs, cs):
             h += c * np_parity_pm1(states & yz)
-        ratio = np.where(found, psi[pos_c] / psi, 0.0)
+        # guard psi == 0 rows: their ratio is defined as 0 (the reference's
+        # unsampled-amplitude semantics), and an unguarded divide emits
+        # warnings / inf in the host oracle
+        denom = np.where(psi == 0, 1.0, psi)
+        ratio = np.where(found & (psi != 0), psi[pos_c] / denom, 0.0)
         e += h * ratio
     return e
 

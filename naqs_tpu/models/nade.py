@@ -317,7 +317,13 @@ def masked_log_softmax_half(logits4: jnp.ndarray, mask) -> jnp.ndarray:
     z = 2.0 * logits4
     if mask is not None:
         z = jnp.where(mask, z, BIG_NEG)
-    return 0.5 * jax.nn.log_softmax(z, axis=-1)
+    out = 0.5 * jax.nn.log_softmax(z, axis=-1)
+    if mask is not None:
+        # an all-False row (prefix satisfiable by no sector) must emit -inf
+        # amplitudes, not the uniform log(1/4) a fully-masked softmax yields
+        # (reference marks mask.sum()==0 rows as already-invalid)
+        out = jnp.where(jnp.any(mask, axis=-1, keepdims=True), out, 0.5 * BIG_NEG)
+    return out
 
 
 # ------------------------------------------------------------------- predict

@@ -39,6 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from naqs_tpu.hamiltonian import PauliTerms
+from naqs_tpu.ops.rank import (
+    RankSpec,
+    build_value_table,
+    lookup as rank_lookup,
+    rank_index,
+)
 from naqs_tpu.utils.bits import parity_pm1
 
 # target elements per (chunk x term) intermediate; bounds peak memory
@@ -50,7 +56,11 @@ _DENSE_A_MAX = 1 << 26
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class DeviceTerms:
-    """PauliTerms uploaded to device memory (a pytree of jnp arrays)."""
+    """PauliTerms uploaded to device memory (a pytree of jnp arrays).
+
+    `rank_spec` (static aux, optional) enables the sort-free combinadic
+    addressing path of ops/rank.py for the psi membership lookups.
+    """
 
     diag_yz: jnp.ndarray     # (Kd,) uint64
     diag_coeff: jnp.ndarray  # (Kd,) float64
@@ -60,20 +70,25 @@ class DeviceTerms:
     gyz: jnp.ndarray         # (K,) int32
     coeff: jnp.ndarray       # (K,) float32
     a_mat: jnp.ndarray | None  # (Kyz, Kxy) f32 dense coupling matrix, or None
+    rank_spec: RankSpec | None = None
 
     def tree_flatten(self):
         return (
             (self.diag_yz, self.diag_coeff, self.xy_unique, self.yz_unique,
              self.gxy, self.gyz, self.coeff, self.a_mat),
-            None,
+            self.rank_spec,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves)
+        return cls(*leaves, rank_spec=aux)
 
     @staticmethod
-    def from_terms(terms: PauliTerms, dense_a: bool | None = None) -> "DeviceTerms":
+    def from_terms(
+        terms: PauliTerms,
+        dense_a: bool | None = None,
+        hilbert=None,
+    ) -> "DeviceTerms":
         kyz, kxy = len(terms.yz_unique), len(terms.xy_unique)
         if dense_a is None:
             dense_a = kyz * kxy <= _DENSE_A_MAX
@@ -82,6 +97,7 @@ class DeviceTerms:
             a = np.zeros((kyz, kxy), dtype=np.float32)
             np.add.at(a, (terms.gyz, terms.gxy), terms.coeff)
             a_mat = jnp.asarray(a)
+        rank_spec = RankSpec.for_hilbert(hilbert) if hilbert is not None else None
         return DeviceTerms(
             diag_yz=jnp.asarray(terms.diag_yz, dtype=jnp.uint64),
             diag_coeff=jnp.asarray(terms.diag_coeff, dtype=jnp.float64),
@@ -91,6 +107,7 @@ class DeviceTerms:
             gyz=jnp.asarray(terms.gyz, dtype=jnp.int32),
             coeff=jnp.asarray(terms.coeff, dtype=jnp.float32),
             a_mat=a_mat,
+            rank_spec=rank_spec,
         )
 
 
@@ -154,7 +171,7 @@ def _local_energy_chunk(
     dt: DeviceTerms,
     s: jnp.ndarray,          # (C,) uint64 chunk of sampled states
     states: jnp.ndarray,     # (U,) uint64 full sorted sample buffer
-    rec: jnp.ndarray,        # (U, 4) int32 packed lookup records
+    rec: jnp.ndarray,        # (U, 4) int32 records, or (size+1, 2) rank table
     my_log_amp: jnp.ndarray,  # (C,) f32
     my_phase: jnp.ndarray,   # (C,) f32
     n_valid: jnp.ndarray,    # () int32
@@ -162,7 +179,10 @@ def _local_energy_chunk(
     e_diag = diagonal_energy(dt, s)
 
     coupled = s[:, None] ^ dt.xy_unique[None, :]            # (C, Kxy)
-    found, g_la, g_ph = _lookup(states, rec, n_valid, coupled)
+    if dt.rank_spec is not None:
+        found, g_la, g_ph = rank_lookup(dt.rank_spec, rec, coupled)
+    else:
+        found, g_la, g_ph = _lookup(states, rec, n_valid, coupled)
     # clip the log-ratio: psi'/psi beyond e^30 only occurs for states with
     # negligible sampling weight, and unclipped it overflows f32.
     dlog = jnp.clip(g_la - my_log_amp[:, None], -30.0, 30.0)
@@ -197,7 +217,10 @@ def local_energy(
     s_p = jnp.pad(states, (0, pad), constant_values=np.uint64(2**64 - 1))
     la_p = jnp.pad(log_amp, (0, pad))
     ph_p = jnp.pad(phase, (0, pad))
-    rec = pack_table(states, log_amp, phase)
+    if dt.rank_spec is not None:
+        rec = build_value_table(dt.rank_spec, states, log_amp, phase, n_valid)
+    else:
+        rec = pack_table(states, log_amp, phase)
 
     def body(args):
         s, la, ph = args
@@ -237,15 +260,23 @@ def _quadratic_energy_chunk(
     num_diag = jnp.sum(w_m * diagonal_energy(dt, s))
 
     coupled = s[:, None] ^ dt.xy_unique[None, :]
-    n = states.shape[0]
-    pos = jnp.searchsorted(states, coupled.ravel(), method="sort").reshape(
-        coupled.shape
-    )
-    found_n = pos < n_valid
-    pos = jnp.minimum(pos, n - 1)
-    found = (states[pos] == coupled) & found_n & my_live[:, None]
-    g_la = la_all[pos]
-    g_ph = ph_all[pos]
+    if dt.rank_spec is not None:
+        # la_all here is the differentiable (size+1, 2) rank value table
+        # (misses hold la = -100 => exp underflows to exactly 0 in f32)
+        idx = rank_index(dt.rank_spec, coupled)
+        g = la_all[idx]
+        g_la, g_ph = g[..., 0], g[..., 1]
+        found = my_live[:, None]
+    else:
+        n = states.shape[0]
+        pos = jnp.searchsorted(states, coupled.ravel(), method="sort").reshape(
+            coupled.shape
+        )
+        found_n = pos < n_valid
+        pos = jnp.minimum(pos, n - 1)
+        found = (states[pos] == coupled) & found_n & my_live[:, None]
+        g_la = la_all[pos]
+        g_ph = ph_all[pos]
     amp_prod = jnp.where(found, jnp.exp(g_la + my_log_amp[:, None]), 0.0).astype(
         jnp.float32
     )
@@ -286,9 +317,19 @@ def quadratic_energy(
     ph_p = jnp.pad(phase, (0, pad))
     live_p = jnp.pad(live, (0, pad))
 
+    if dt.rank_spec is not None:
+        # differentiable dense value table; miss slots at la=-100 make the
+        # symmetric product exp(la+la') underflow to exactly 0 in f32
+        table = build_value_table(
+            dt.rank_spec, states, la, phase, n_valid, miss_log_amp=-100.0
+        )
+        la_arg, ph_arg = table, phase
+    else:
+        la_arg, ph_arg = la, phase
+
     def body(args):
         s, l, p, lv = args
-        return _quadratic_energy_chunk(dt, s, states, la, phase, l, p, n_valid, lv)
+        return _quadratic_energy_chunk(dt, s, states, la_arg, ph_arg, l, p, n_valid, lv)
 
     num, den = jax.lax.map(
         body,

@@ -63,7 +63,15 @@ def make_sharded_train_step(
         g_states = g_states[order]
         g_la = g_la[order]
         g_ph = g_ph[order]
+        g_live_s = g_live[order]
         g_n_valid = jnp.sum(g_live).astype(jnp.int32)
+        # globally deduplicated unique count: shards sample independently, so
+        # the same state may appear on several shards (harmless for count-
+        # based weights, but the controller must not see an inflated count)
+        new_key = jnp.concatenate(
+            [jnp.ones((1,), bool), g_states[1:] != g_states[:-1]]
+        )
+        n_unique_global = jnp.sum(new_key & g_live_s).astype(jnp.int32)
 
         # local-state log psi of each local row inside the merged table is
         # just la_l/ph_l; E_loc for local rows against the global support
@@ -90,13 +98,23 @@ def make_sharded_train_step(
 
         grads = jax.grad(loss_fn)(params)
         grads = jax.lax.psum(grads, "dp")
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        overflow = jax.lax.psum(batch.overflow.astype(jnp.int32), "dp") > 0
+        new_updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, new_updates)
+        # an overflowed capacity buffer is a truncated (biased) sample: do NOT
+        # apply the update — the host controller backs off n_samples and
+        # resamples, matching the single-chip get_samples semantics
+        # (reference energy.py:943-969)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(overflow, o, n), new, old
+        )
+        params = keep(new_params, params)
+        opt_state = keep(new_opt_state, opt_state)
         metrics = {
             "e_loc": e_mean,
             "e_loc_var": e_var,
-            "n_unique": jax.lax.psum(batch.n_unique, "dp"),
-            "overflow": jax.lax.psum(batch.overflow.astype(jnp.int32), "dp") > 0,
+            "n_unique": n_unique_global,
+            "overflow": overflow,
         }
         return params, opt_state, metrics
 

@@ -243,7 +243,7 @@ class VMCTrainer:
         self.tc = train_cfg
         self.hilbert = hilbert
         self.terms = terms
-        self.dt = DeviceTerms.from_terms(terms)
+        self.dt = DeviceTerms.from_terms(terms, hilbert=hilbert)
         self.optimizer = train_cfg.make_optimizer(has_lut=model_cfg.num_lut > 0)
         self.key = jax.random.key(train_cfg.seed)
         self.key, k0 = jax.random.split(self.key)
@@ -254,6 +254,12 @@ class VMCTrainer:
         self.n_devices = int(n_devices)
         self._sharded_step = None
         if self.n_devices > 1:
+            if train_cfg.use_sr:
+                raise ValueError(
+                    "use_sr with n_devices > 1 is not implemented: the "
+                    "sharded step would silently train plain Adam. Run SR "
+                    "single-device or drop -sr."
+                )
             from naqs_tpu.parallel import make_mesh, make_sharded_train_step
 
             mesh = make_mesh(jax.devices()[: self.n_devices])
@@ -297,19 +303,31 @@ class VMCTrainer:
             f"{self.capacity} too small for this wavefunction's support?"
         )
 
-    def _step_sharded(self) -> dict:
+    def _step_sharded(self, max_retries: int = 12) -> dict:
         """Multi-chip step: per-shard sampling + psum'd update, with the
-        sample-count controller applied from the returned metrics."""
+        sample-count controller applied from the returned metrics.
+
+        On capacity overflow the device step withholds the (biased) update;
+        the controller backs off n_samples and resamples before counting a
+        step — the same semantics as the single-chip get_samples path."""
         t0 = time.time()
-        self.key, k = jax.random.split(self.key)
-        keys = jax.random.split(k, self.n_devices)
-        self.params, self.opt_state, metrics = self._sharded_step(
-            self.params, self.opt_state, self.dt, keys, jnp.float64(self.n_samples)
-        )
-        n_unq = int(metrics["n_unique"])
-        if bool(metrics["overflow"]):
+        for _ in range(max_retries):
+            self.key, k = jax.random.split(self.key)
+            keys = jax.random.split(k, self.n_devices)
+            self.params, self.opt_state, metrics = self._sharded_step(
+                self.params, self.opt_state, self.dt, keys,
+                jnp.float64(self.n_samples),
+            )
+            if not bool(metrics["overflow"]):
+                break
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
-        elif n_unq < self.tc.n_unq_samples_min:
+        else:
+            raise RuntimeError(
+                "sharded sample-count controller did not converge: capacity "
+                f"{self.capacity} too small for this wavefunction's support?"
+            )
+        n_unq = int(metrics["n_unique"])
+        if n_unq < self.tc.n_unq_samples_min:
             self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
         elif n_unq > self.tc.n_unq_samples_max:
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)

@@ -69,11 +69,37 @@ class _QubitOperatorShim:
     terms: PauliTermDict
 
 
+# The qubit-Hamiltonian pickles come from an untrusted data directory; only a
+# fixed allowlist of classes may be reconstructed (a generic Unpickler would
+# execute arbitrary __reduce__ gadgets).
+_SAFE_CLASSES = {
+    ("builtins", "complex"): complex,
+    ("builtins", "float"): float,
+    ("builtins", "int"): int,
+    ("builtins", "dict"): dict,
+    ("builtins", "tuple"): tuple,
+    ("builtins", "list"): list,
+    ("builtins", "str"): str,
+    ("builtins", "frozenset"): frozenset,
+    ("builtins", "set"): set,
+}
+_SAFE_NUMPY = {
+    "ndarray", "dtype", "_reconstruct", "scalar", "float64", "complex128",
+    "int64",
+}
+
+
 class _ShimUnpickler(pickle.Unpickler):
     def find_class(self, module, name):  # noqa: D102
         if name == "QubitOperator" and module.startswith("openfermion"):
             return _QubitOperatorShim
-        return super().find_class(module, name)
+        if (module, name) in _SAFE_CLASSES:
+            return _SAFE_CLASSES[(module, name)]
+        if module.startswith("numpy") and name in _SAFE_NUMPY:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} from untrusted molecule data"
+        )
 
 
 def load_qubit_hamiltonian_pickle(path: str) -> PauliTermDict:

@@ -74,3 +74,86 @@ def test_sharded_metrics_match_single_chip_statistics():
     # exact value over the basis as the ground truth for the estimator
     e_exact = float(exact_energy(cfg, params, dt, jnp.asarray(h.basis)))
     assert abs(e_mesh - e_exact) < 0.05, (e_mesh, e_exact)
+
+
+def test_sr_with_multiple_devices_fails_loudly():
+    """-sr -devices 8 must not silently train plain Adam (round-1 defect)."""
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(8,), phase_hidden=(8,), masking="partial",
+    )
+    with pytest.raises(ValueError, match="use_sr"):
+        VMCTrainer(cfg, terms, h, TrainConfig(use_sr=True), n_devices=2)
+
+
+def test_sharded_overflow_withholds_update():
+    """On capacity overflow the device step must NOT apply the (biased)
+    gradient update; the controller resamples first (round-1 defect)."""
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(8,), phase_hidden=(8,), masking="partial",
+    )
+    opt = TrainConfig(lr=1e-2, use_lr_schedule=False).make_optimizer()
+    mesh = make_mesh()
+    # capacity 4 per device on a 12-qubit molecule with 1e6 samples: certain overflow
+    step = make_sharded_train_step(cfg, opt, mesh, capacity_per_device=4)
+    params = init_params(jax.random.key(0), cfg)
+    opt_state = opt.init(params)
+    dt = DeviceTerms.from_terms(terms, hilbert=h)
+    new_params, _, m = step(
+        params, opt_state, dt, jax.random.split(jax.random.key(1), 8),
+        jnp.float64(1e6),
+    )
+    assert bool(m["overflow"])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(new_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_n_unique_is_globally_deduplicated():
+    """Identical PRNG keys on every shard produce identical per-shard sample
+    sets; the reported n_unique must count each state once, not 8x."""
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(8,), phase_hidden=(8,), masking="full",
+    )
+    opt = TrainConfig(lr=0.0, use_lr_schedule=False).make_optimizer()
+    mesh = make_mesh()
+    cap = 256
+    step = make_sharded_train_step(cfg, opt, mesh, capacity_per_device=cap)
+    params = init_params(jax.random.key(0), cfg)
+    opt_state = opt.init(params)
+    dt = DeviceTerms.from_terms(terms, hilbert=h)
+    same = jnp.broadcast_to(jax.random.key(7), (8,))
+    _, _, m = step(params, opt_state, dt, same, jnp.float64(2e4))
+    assert not bool(m["overflow"])
+    assert 0 < int(m["n_unique"]) <= cap, int(m["n_unique"])
+
+
+def test_trainer_sharded_step_controller_resamples_on_overflow():
+    """VMCTrainer._step_sharded backs off n_samples on overflow and still
+    completes a (non-overflowed) training step."""
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(8,), phase_hidden=(8,), masking="partial",
+    )
+    tc = TrainConfig(
+        n_samples=1e6, n_unq_samples_min=1, n_unq_samples_max=16,
+        use_lr_schedule=False, lr=1e-3,
+    )
+    tr = VMCTrainer(cfg, terms, h, tc, n_devices=8)
+    out = tr.step()
+    assert np.isfinite(out["e_loc"])
+    assert tr.n_steps == 1

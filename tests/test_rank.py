@@ -1,0 +1,126 @@
+"""Combinadic rank addressing (ops/rank.py): bijection + engine equivalence.
+
+The rank path replaces the reference's dense 2^N full->restricted LUT
+(reference src/utils/hilbert.py:429-439) with O(N) arithmetic; these tests
+pin (a) that rank_index is a bijection onto [0, size) over the restricted
+basis, (b) that invalid states hit the sentinel, and (c) that the rank-based
+local-energy/exact-energy paths agree with the sort-based fallback and the
+numpy oracle.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from naqs_tpu import Hilbert, compile_pauli_terms, load_molecule
+from naqs_tpu.hamiltonian import local_energy_np
+from naqs_tpu.ops.local_energy import DeviceTerms, local_energy, quadratic_energy
+from naqs_tpu.ops.rank import RankSpec, np_rank_index, rank_index
+from naqs_tpu.utils.bits import SENTINEL
+
+
+@pytest.mark.parametrize(
+    "sectors,n_qubits",
+    [
+        (((2, 2),), 12),           # LiH-like closed shell
+        (((5, 5),), 14),           # H2O-like
+        (((9, 7),), 20),           # O2 fixed-m_s open shell
+        (((5, 3), (4, 4), (3, 5)), 14),  # multi-sector partially restricted
+    ],
+)
+def test_rank_is_bijection_on_basis(sectors, n_qubits):
+    h = Hilbert(n_qubits=n_qubits, sectors=sectors)
+    spec = RankSpec.for_hilbert(h)
+    assert spec is not None
+    idx_np = np_rank_index(spec, h.basis)
+    assert idx_np.min() == 0 and idx_np.max() == h.size - 1
+    assert len(np.unique(idx_np)) == h.size
+    idx_dev = np.asarray(rank_index(spec, jnp.asarray(h.basis)))
+    np.testing.assert_array_equal(idx_dev, idx_np)
+
+
+def test_invalid_states_hit_sentinel():
+    h = Hilbert(n_qubits=12, sectors=((2, 2),))
+    spec = RankSpec.for_hilbert(h)
+    rng = np.random.default_rng(0)
+    basis_set = set(h.basis.tolist())
+    invalid = np.array(
+        [x for x in rng.integers(0, 2**12, size=400) if x not in basis_set],
+        dtype=np.uint64,
+    )
+    idx = np.asarray(rank_index(spec, jnp.asarray(invalid)))
+    assert (idx == spec.size).all()
+    np.testing.assert_array_equal(np_rank_index(spec, invalid), idx)
+
+
+def test_unsupported_spaces_return_none():
+    h = Hilbert(n_qubits=56, sectors=((1, 1),))  # H2 cc-pVTZ width
+    assert RankSpec.for_hilbert(h) is None
+
+
+@pytest.mark.parametrize("name", ["LiH", "H2O", "O2"])
+def test_rank_engine_matches_oracle_and_fallback(name):
+    mol = load_molecule(name)
+    h = Hilbert.for_molecule(mol)
+    terms = compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    rng = np.random.default_rng(7)
+    m = min(300, h.size)
+    sub = np.sort(rng.choice(h.size, size=m, replace=False))
+    states = h.basis[sub]
+    log_amp = rng.normal(size=m)
+    log_amp -= log_amp.max()
+    phase = rng.uniform(0, 2 * np.pi, size=m)
+    psi = np.exp(log_amp + 1j * phase)
+
+    e_np = local_energy_np(terms, states, psi)
+
+    cap = m + 9
+    states_p = np.full(cap, SENTINEL, dtype=np.uint64)
+    states_p[:m] = states
+    la = np.zeros(cap, np.float32)
+    la[:m] = log_amp
+    ph = np.zeros(cap, np.float32)
+    ph[:m] = phase
+    args = (jnp.asarray(states_p), jnp.asarray(la), jnp.asarray(ph), jnp.int32(m))
+
+    dt_rank = DeviceTerms.from_terms(terms, hilbert=h)
+    assert dt_rank.rank_spec is not None
+    e_re, e_im = local_energy(dt_rank, *args)
+    np.testing.assert_allclose(np.asarray(e_re[:m]), e_np.real, atol=5e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_im[:m]), e_np.imag, atol=5e-4, rtol=1e-5)
+
+    dt_sort = DeviceTerms.from_terms(terms)
+    e_re2, _ = local_energy(dt_sort, *args)
+    np.testing.assert_allclose(
+        np.asarray(e_re[:m]), np.asarray(e_re2[:m]), atol=1e-5, rtol=1e-6
+    )
+
+
+def test_rank_quadratic_energy_matches_fallback_and_grad():
+    mol = load_molecule("LiH")
+    h = Hilbert.for_molecule(mol)
+    terms = compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    rng = np.random.default_rng(3)
+    m = min(400, h.size)
+    sub = np.sort(rng.choice(h.size, size=m, replace=False))
+    states = jnp.asarray(h.basis[sub])
+    la = jnp.asarray(rng.normal(size=m), jnp.float32)
+    ph = jnp.asarray(rng.uniform(0, 2 * np.pi, size=m), jnp.float32)
+    nv = jnp.int32(m)
+
+    dt_rank = DeviceTerms.from_terms(terms, hilbert=h)
+    dt_sort = DeviceTerms.from_terms(terms)
+    e_rank = float(quadratic_energy(dt_rank, states, la, ph, nv))
+    e_sort = float(quadratic_energy(dt_sort, states, la, ph, nv))
+    assert abs(e_rank - e_sort) < 1e-5
+
+    g_rank = jax.grad(
+        lambda a: quadratic_energy(dt_rank, states, a, ph, nv)
+    )(la)
+    g_sort = jax.grad(
+        lambda a: quadratic_energy(dt_sort, states, a, ph, nv)
+    )(la)
+    np.testing.assert_allclose(
+        np.asarray(g_rank), np.asarray(g_sort), atol=1e-5, rtol=1e-4
+    )
