@@ -1,0 +1,181 @@
+"""Stall-resilient sequential experiment fleet for the tunneled TPU.
+
+The reference's deliverable is its result set: the full sto-3g molecule zoo,
+the 11-point N2 dissociation surface, the Carleo-comparison geometries, the
+5-seed production batches and the larger basis sets (reference:
+experiments/bash/naqs/batch_train.sh, N2_energy_surface.sh, carleo_comps.sh,
+larger_basis_sets.sh). This driver runs those suites as a single resumable
+queue of CLI subprocesses.
+
+The tunnel to the TPU occasionally stalls a process indefinitely on a device
+call (~25 min in); every job therefore runs with -save_freq checkpointing and
+an output-activity watchdog: if the child prints nothing for --stall-secs,
+it is killed and relaunched with -c (resume). A job is done when its
+summary.json exists.
+
+Usage:
+    python -m experiments.fleet --list
+    python -m experiments.fleet                 # run everything not yet done
+    python -m experiments.fleet --only zoo_C2 n2_1.8
+    python -m experiments.fleet --phases zoo n2curve
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_ROOT = os.path.join(ROOT, "data", "fleet")
+
+PROD = ["-n_hid", "64", "-n_layer", "1", "-n_hid_phase", "512",
+        "-n_layer_phase", "2", "-single_phase", "-n_pretrain", "20",
+        "-save_freq", "500", "-loadH", "-overwriteH"]
+SAMP = ["-n_samps", "1e7", "-n_unq_samps_min", "256",
+        "-n_unq_samps_max", "4096"]
+SAMP_BIG = ["-n_samps", "1e7", "-n_unq_samps_min", "1024",
+            "-n_unq_samps_max", "16384"]
+
+
+def _job(name, molecule, n_train, seed=11, samp=None, extra=()):
+    return {
+        "name": name,
+        "molecule": molecule,
+        "args": ["-m", molecule, "-n_train", str(n_train), "-s", str(seed)]
+        + PROD + (samp or SAMP) + list(extra),
+    }
+
+
+def build_jobs():
+    jobs = []
+
+    # --- phase "zoo": remaining sto-3g systems (seed 11, production config)
+    zoo = [
+        ("CH2", 3000, SAMP), ("H2S", 3000, SAMP), ("F2", 3000, SAMP),
+        ("HCl", 3000, SAMP), ("PH3", 4000, SAMP), ("LiF", 5000, SAMP),
+        ("C2", 6000, SAMP), ("LiCl", 5000, SAMP_BIG), ("Li2O", 6000, SAMP_BIG),
+    ]
+    for mol, n, samp in zoo:
+        jobs.append(("zoo", _job(f"zoo_{mol}", mol, n, samp=samp)))
+
+    # --- phase "bases": H2 larger bases + H2O 6-31G full budget + H4O2
+    jobs.append(("bases", _job("h2_631g", "H2_6-31G", 1500)))
+    jobs.append(("bases", _job("h2_ccpvdz", "H2_cc-pVDZ", 2500)))
+    jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pVTZ", 3000)))
+    jobs.append(("bases", _job(
+        "h2o_631g", "H2O_6-31G", 10000, samp=SAMP_BIG,
+        extra=["-full_mask_psi"],
+    )))
+    jobs.append(("bases", _job("h4o2", "H4O2", 8000, samp=SAMP_BIG)))
+
+    # --- phase "n2curve": the 11-point dissociation surface
+    for r in ["0.75", "0.9", "1.05", "1.2", "1.35", "1.5",
+              "1.65", "1.8", "1.95", "2.1", "2.25"]:
+        jobs.append(("n2curve", _job(f"n2_{r}", f"N2_{r}", 4000)))
+
+    # --- phase "carleo": Choo et al. comparison geometries
+    for mol, n in [("carleo/H2", 800), ("carleo/LiH", 2500),
+                   ("carleo/H2O", 4000), ("carleo/NH3", 4000),
+                   ("carleo/C2", 6000), ("carleo/N2", 6000)]:
+        tag = mol.split("/")[-1].lower()
+        jobs.append(("carleo", _job(f"carleo_{tag}", mol, n)))
+    jobs.append(("carleo", _job(
+        "carleo_h2o631g", "carleo/H2O_6-31G", 10000, samp=SAMP_BIG,
+        extra=["-full_mask_psi"],
+    )))
+
+    # --- phase "seeds": 5-seed production batches (reference batch_train.sh)
+    for mol, n in [("LiH", 2500), ("H2O", 4000), ("N2", 6000)]:
+        for seed in [111, 222, 333, 444, 555]:
+            jobs.append(
+                ("seeds", _job(f"seeds_{mol}_{seed}", mol, n, seed=seed))
+            )
+
+    return jobs
+
+
+def job_done(out_dir: str) -> bool:
+    return os.path.exists(os.path.join(out_dir, "summary.json"))
+
+
+def run_job(job, stall_secs: float, max_attempts: int = 10) -> bool:
+    out_dir = os.path.join(OUT_ROOT, job["name"])
+    os.makedirs(out_dir, exist_ok=True)
+    log_path = os.path.join(out_dir, "fleet_log.txt")
+    cmd = [sys.executable, "-m", "naqs_tpu.cli", *job["args"],
+           "-o", out_dir, "-c"]
+    for attempt in range(max_attempts):
+        if job_done(out_dir):
+            return True
+        print(f"[fleet] {job['name']} attempt {attempt + 1}: {' '.join(cmd)}",
+              flush=True)
+        with open(log_path, "a") as log:
+            log.write(f"\n==== attempt {attempt + 1} @ {time.ctime()} ====\n")
+            log.flush()
+            proc = subprocess.Popen(
+                cmd, stdout=log, stderr=subprocess.STDOUT, cwd=ROOT,
+                start_new_session=True,
+            )
+            last_size, last_change = 0, time.time()
+            while proc.poll() is None:
+                time.sleep(10)
+                size = os.path.getsize(log_path)
+                if size != last_size:
+                    last_size, last_change = size, time.time()
+                elif time.time() - last_change > stall_secs:
+                    print(f"[fleet] {job['name']}: stalled "
+                          f"({stall_secs:.0f}s silent), killing pid "
+                          f"{proc.pid}", flush=True)
+                    os.killpg(proc.pid, signal.SIGKILL)
+                    break
+            proc.wait()
+        if job_done(out_dir):
+            print(f"[fleet] {job['name']}: DONE", flush=True)
+            return True
+    print(f"[fleet] {job['name']}: FAILED after {max_attempts} attempts",
+          flush=True)
+    return False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--list", action="store_true")
+    p.add_argument("--only", nargs="*", default=None, help="job names")
+    p.add_argument("--phases", nargs="*", default=None,
+                   help="zoo | bases | n2curve | carleo | seeds")
+    p.add_argument("--stall-secs", type=float, default=240.0)
+    args = p.parse_args(argv)
+
+    jobs = build_jobs()
+    if args.phases:
+        jobs = [(ph, j) for ph, j in jobs if ph in args.phases]
+    if args.only:
+        jobs = [(ph, j) for ph, j in jobs if j["name"] in args.only]
+
+    if args.list:
+        for ph, j in jobs:
+            state = "done" if job_done(os.path.join(OUT_ROOT, j["name"])) else "todo"
+            print(f"{state:5s} {ph:8s} {j['name']:24s} {' '.join(j['args'])}")
+        return
+
+    t0 = time.time()
+    status = {}
+    for ph, j in jobs:
+        if job_done(os.path.join(OUT_ROOT, j["name"])):
+            status[j["name"]] = "done (cached)"
+            continue
+        ok = run_job(j, stall_secs=args.stall_secs)
+        status[j["name"]] = "done" if ok else "FAILED"
+        print(f"[fleet] elapsed {time.time() - t0:.0f}s, "
+              f"{sum(v.startswith('done') for v in status.values())}"
+              f"/{len(jobs)} complete", flush=True)
+    print(json.dumps(status, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -618,6 +618,7 @@ class VMCTrainer:
             "n_steps": self.n_steps,
             "run_time": self.run_time,
             "n_samples": self.n_samples,
+            "prng_key": np.asarray(jax.random.key_data(self.key)).tolist(),
             "log": {k: v for k, v in self.log.items()},
         }
         with open(os.path.join(self.save_loc, f"{fname}.json"), "w") as f:
@@ -642,6 +643,11 @@ class VMCTrainer:
             self.n_steps = meta["n_steps"]
             self.run_time = meta["run_time"]
             self.n_samples = meta["n_samples"]
+            if "prng_key" in meta:
+                # resume the sample stream where the interrupted run left it
+                self.key = jax.random.wrap_key_data(
+                    jnp.asarray(meta["prng_key"], dtype=jnp.uint32)
+                )
             self.log = {k: [tuple(x) for x in v] for k, v in meta["log"].items()}
         return self
 

@@ -57,3 +57,24 @@ def test_checkpoint_roundtrip(tmp_path, h2_trained):
     tr.params = jax.tree_util.tree_map(lambda x: x * 0.0, tr.params)
     tr.load()
     assert abs(tr.exact_energy() - e_before) < 1e-9
+
+
+def test_checkpoint_resume_is_bit_faithful(tmp_path, h2_trained):
+    """A resumed run must reproduce the interrupted run's sample stream:
+    the PRNG key (and controller state) are part of the checkpoint."""
+    import jax
+    import numpy as np
+    from naqs_tpu.trainer import VMCTrainer
+
+    mol, tr = h2_trained
+    tr.save_loc = str(tmp_path)
+    tr.save()
+    tr2 = VMCTrainer(tr.cfg, tr.terms, tr.hilbert, tr.tc, save_loc=str(tmp_path))
+    tr2.load()
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(tr.key)),
+        np.asarray(jax.random.key_data(tr2.key)),
+    )
+    o1, o2 = tr.step(), tr2.step()
+    assert o1["n_unique"] == o2["n_unique"]
+    assert abs(o1["e_loc"] - o2["e_loc"]) < 1e-9
