@@ -72,6 +72,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-sr_cg_iters", type=int, default=50)
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")
+    p.add_argument("-sample_dP", type=float, default=-1,
+                   help="density sampling: train on all states with "
+                        "|psi|^2 >= dP (adaptive; reference "
+                        "DensitySamplingOptimizer)")
     p.add_argument("-devices", type=int, default=0,
                    help="data-parallel devices (0 = all available)")
     p.add_argument("-profile", action="store_true",
@@ -237,6 +241,9 @@ def run(args=None) -> dict:
         n_remaining = max(args.n_train - trainer.n_steps, 0)
         if args.exact_sampling:
             trainer.run_exact(n_remaining, output_freq=args.output_freq)
+        elif args.sample_dP > 0:
+            trainer.run_density(n_remaining, output_freq=args.output_freq,
+                                d_p=args.sample_dP)
         else:
             trainer.run(n_remaining, output_freq=args.output_freq,
                         log_exact_energy=log_exact, save_freq=save_freq)

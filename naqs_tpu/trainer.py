@@ -36,7 +36,7 @@ import optax
 from naqs_tpu.hamiltonian import PauliTerms, assemble_sparse_hamiltonian_np
 from naqs_tpu.models.nade import NAQSConfig, init_params, log_psi
 from naqs_tpu.ops.local_energy import DeviceTerms, local_energy, quadratic_energy
-from naqs_tpu.sampler import SampleBatch, sample
+from naqs_tpu.sampler import SampleBatch, sample, sample_density
 from naqs_tpu.utils.hilbert import Hilbert
 
 
@@ -273,7 +273,18 @@ class VMCTrainer:
         self.log = {
             "E": [], "E_LOC": [], "E_LOC_VAR": [], "N_UNIQUE_SAMP": [], "TIME": [],
         }
-        self.sampled_states = set()
+        # cross-step sampled-state multiplicity counter feeding solve_h's
+        # top-k subspace (reference Counter at energy.py:137,300,762-786)
+        self.sampled_counter: dict[int, float] = {}
+        self.d_p = 1e-8  # density-sampling threshold (run_density)
+
+    def _record_samples(self, batch: SampleBatch):
+        nu = int(batch.n_unique)
+        states = np.asarray(batch.states[:nu])
+        counts = np.asarray(batch.counts[:nu])
+        get = self.sampled_counter.get
+        for s, c in zip(states.tolist(), counts.tolist()):
+            self.sampled_counter[s] = get(s, 0.0) + c
 
     # -- sampling with the reference's adaptive batch-size controller
     def get_samples(self, max_retries: int = 12) -> SampleBatch:
@@ -358,6 +369,7 @@ class VMCTrainer:
             return self._step_sharded()
         t0 = time.time()
         batch = self.get_samples()
+        self._record_samples(batch)
         if self.tc.use_sr:
             from naqs_tpu.sr import sr_update
 
@@ -418,6 +430,57 @@ class VMCTrainer:
                 self.save()
             if callback is not None:
                 callback(self, out)
+        return self
+
+    def get_density_samples(self, max_retries: int = 12) -> SampleBatch:
+        """Deterministic support enumeration with an adaptive threshold:
+        all states with probability mass >= d_p, d_p scaled x/÷10 to keep the
+        support inside the unique-sample window (the DensitySamplingOptimizer
+        controller, reference energy.py:1058-1205)."""
+        for _ in range(max_retries):
+            batch = sample_density(
+                self.cfg, self.params, jnp.float64(self.d_p), self.capacity
+            )
+            overflow = bool(batch.overflow)
+            n_unq = int(batch.n_unique)
+            if overflow or n_unq > self.tc.n_unq_samples_max:
+                self.d_p = min(self.d_p * 10.0, 0.5)
+                continue
+            if n_unq < self.tc.n_unq_samples_min and self.d_p > 1e-16:
+                self.d_p = self.d_p / 10.0
+                continue
+            return batch
+        raise RuntimeError(
+            f"density threshold controller did not converge (d_p={self.d_p})"
+        )
+
+    def run_density(self, n_epochs: int, output_freq: int = 25,
+                    d_p: Optional[float] = None):
+        """Train on the deterministically-enumerated high-mass support
+        (reference DensitySamplingOptimizer.run, energy.py:1058-1205), with
+        |psi|^2 weights over the captured support."""
+        if d_p is not None:
+            self.d_p = float(d_p)
+        for i in range(n_epochs):
+            t0 = time.time()
+            batch = self.get_density_samples()
+            self._record_samples(batch)
+            self.params, self.opt_state, metrics = vmc_update(
+                self.cfg, self.optimizer, self.params, self.opt_state,
+                self.dt, batch, reweight_by_psi=True,
+            )
+            self.n_steps += 1
+            self.run_time += time.time() - t0
+            e = float(metrics["e_loc"])
+            self.log["E_LOC"].append((self.n_steps, e))
+            self.log["E_LOC_VAR"].append((self.n_steps, float(metrics["e_loc_var"])))
+            self.log["N_UNIQUE_SAMP"].append((self.n_steps, int(batch.n_unique)))
+            self.log["TIME"].append((self.n_steps, self.run_time))
+            if (self.n_steps % output_freq == 0) or self.n_steps == 1:
+                print(f"step {self.n_steps}: <E>={e:.6f} "
+                      f"var={float(metrics['e_loc_var']):.6f} "
+                      f"unq={int(batch.n_unique)} d_p={self.d_p:.2e}",
+                      flush=True)
         return self
 
     def run_exact(self, n_epochs: int, output_freq: int = 25,
@@ -571,22 +634,37 @@ class VMCTrainer:
             exact_energy(self.cfg, self.params, self.dt, jnp.asarray(self.hilbert.basis))
         )
 
-    def solve_h(self, n_samps: Optional[float] = None, k_max: int = 10000):
-        """Diagonalize H restricted to the most-sampled states ("VMC+FCI",
-        energy.py:762-786). Returns (energy, n_unique_used)."""
+    def solve_h(self, n_samps: Optional[float] = None, k_max: int = 10000,
+                use_counter: bool = True):
+        """Diagonalize H restricted to the top-k_max MOST-SAMPLED states over
+        the whole training history ("VMC+FCI", energy.py:762-786; the
+        reference accumulates every sampled index in a Counter,
+        energy.py:137,300). Falls back to one fresh sample when no history
+        exists (e.g. before training). Returns (energy, n_unique_used)."""
         from scipy.sparse.linalg import eigsh
 
-        self.key, k = jax.random.split(self.key)
-        batch = sample(
-            self.cfg, self.params, k,
-            jnp.float64(n_samps or self.n_samples), self.capacity,
-        )
-        nu = int(batch.n_unique)
-        states = np.asarray(batch.states[:nu])
-        counts = np.asarray(batch.counts[:nu])
-        if nu > k_max:
-            top = np.argsort(counts)[-k_max:]
-            states = np.sort(states[top])
+        if use_counter and self.sampled_counter:
+            keys = np.fromiter(self.sampled_counter.keys(), dtype=np.uint64,
+                               count=len(self.sampled_counter))
+            vals = np.fromiter(self.sampled_counter.values(), dtype=np.float64,
+                               count=len(self.sampled_counter))
+            nu = len(keys)
+            if nu > k_max:
+                top = np.argpartition(vals, -k_max)[-k_max:]
+                keys = keys[top]
+            states = np.sort(keys)
+        else:
+            self.key, k = jax.random.split(self.key)
+            batch = sample(
+                self.cfg, self.params, k,
+                jnp.float64(n_samps or self.n_samples), self.capacity,
+            )
+            nu = int(batch.n_unique)
+            states = np.asarray(batch.states[:nu])
+            counts = np.asarray(batch.counts[:nu])
+            if nu > k_max:
+                top = np.argsort(counts)[-k_max:]
+                states = np.sort(states[top])
         H = assemble_sparse_hamiltonian_np(self.terms, states)
         if H.shape[0] < 3:
             w = np.linalg.eigvalsh(H.toarray())

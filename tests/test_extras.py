@@ -61,3 +61,60 @@ def test_trainer_multi_device_path():
     tr.run(450, output_freq=1000)
     e = tr.exact_energy()
     assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
+
+
+def test_density_training_reaches_chem_acc():
+    """The density-sampling training mode (reference
+    DensitySamplingOptimizer, energy.py:1058-1205) trains H2 end-to-end."""
+    import naqs_tpu as nq
+    from naqs_tpu.models.nade import NAQSConfig
+    from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     amp_hidden=(32,), phase_hidden=(32,), masking="partial")
+    tc = TrainConfig(use_lr_schedule=False, lr=2e-3,
+                     n_unq_samples_min=1, n_unq_samples_max=16)
+    tr = VMCTrainer(cfg, terms, h, tc)
+    tr.run_density(400, output_freq=1000, d_p=1e-6)
+    e = tr.exact_energy()
+    assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
+
+
+def test_cli_density_mode(tmp_path):
+    from naqs_tpu.cli import run
+
+    res = run(["-m", "H2", "-n_train", "400", "-sample_dP", "1e-6",
+               "-lr", "2e-3", "-n_hid", "16", "-n_unq_samps_min", "1",
+               "-n_unq_samps_max", "16", "-o", str(tmp_path), "-s", "3"])
+    s = res["run_0"]
+    assert s["e_exact_final"] < s["hf_energy"]
+
+
+def test_solve_h_uses_training_counter():
+    """solve_h draws its subspace from the accumulated sampled-state counter
+    (reference energy.py:137,300,762-786), capped at top-k."""
+    import naqs_tpu as nq
+    from naqs_tpu.models.nade import NAQSConfig
+    from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     amp_hidden=(16,), phase_hidden=(16,), masking="partial")
+    tc = TrainConfig(use_lr_schedule=False, n_samples=1e5,
+                     n_unq_samples_min=1, n_unq_samples_max=256)
+    tr = VMCTrainer(cfg, terms, h, tc)
+    assert not tr.sampled_counter
+    for _ in range(5):
+        tr.step()
+    assert len(tr.sampled_counter) > 0
+    # top-k truncation picks the most-sampled subset of the counter
+    e_full, nu_full = tr.solve_h()
+    e_top, nu_top = tr.solve_h(k_max=8)
+    assert nu_full == len(tr.sampled_counter)
+    assert e_top >= e_full - 1e-12  # smaller subspace -> variational bound
+    assert e_full >= mol.fci_energy - 1e-9
