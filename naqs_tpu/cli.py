@@ -138,7 +138,21 @@ def run(args=None) -> dict:
         with open(os.path.join(out_dir, "args.json"), "w") as f:
             json.dump({**vars(args), "resolved_seed": seed + run_i}, f, indent=2)
 
-        hilbert = nq.Hilbert.for_molecule(mol, restrict_to_ms=True)
+        n_exc = args.n_excitations_max if args.n_excitations_max >= 0 else None
+        if args.no_restrictedH:
+            # the reference's unrestricted mode: the model is unmasked and
+            # the Hamiltonian space fixes only the TOTAL electron count
+            # (reference _base.py:180-182 + energy.py:93-97 N_up subspace)
+            hilbert = nq.Hilbert.full_n_up(
+                mol.n_qubits, mol.n_electrons, n_exc_max=n_exc
+            )
+        else:
+            hilbert = nq.Hilbert.for_molecule(mol, restrict_to_ms=True)
+            if n_exc is not None:
+                hilbert = nq.Hilbert(
+                    n_qubits=hilbert.n_qubits, sectors=hilbert.sectors,
+                    n_exc_max=n_exc,
+                )
         m_s = abs(mol.n_alpha_electrons - mol.n_beta_electrons) // 2
         use_amp_spin_sym = not args.no_amp_sym
         if m_s != 0:
@@ -178,7 +192,6 @@ def run(args=None) -> dict:
             shell_order=shell_order,
         )
 
-        n_exc = args.n_excitations_max if args.n_excitations_max >= 0 else None
         terms = _load_or_compile_terms(args, mol, n_exc)
 
         use_default_schedule = args.lr < 0

@@ -40,7 +40,10 @@ import numpy as np
 
 from naqs_tpu.utils.bits import unpack_bits
 
-BIG_NEG = jnp.float32(-1e9)  # masked-logit value; exp(x/2) underflows to 0
+# masked-logit value; exp(x/2) underflows to 0. A host scalar, NOT jnp:
+# a module-level device array would initialize the XLA backend at import
+# time and break jax.distributed.initialize in multi-host runs.
+BIG_NEG = np.float32(-1e9)
 
 
 # --------------------------------------------------------------------- config

@@ -65,7 +65,9 @@ class RankSpec:
     def for_hilbert(hilbert) -> "RankSpec | None":
         """Build a RankSpec for a Hilbert space, or None if unsupported."""
         s = hilbert.n_shells
-        if hilbert.n_qubits > 32 or hilbert.size > RANK_SIZE_MAX:
+        # the address space is the UNFILTERED sector product (an n_exc_max
+        # filter leaves holes in the dense table, which is still correct)
+        if hilbert.n_qubits > 32 or hilbert.sector_size > RANK_SIZE_MAX:
             return None
         nas = [na for (na, _) in hilbert.sectors]
         if len(set(nas)) != len(nas):
@@ -79,11 +81,11 @@ class RankSpec:
             stride[na] = comb(s, nb)
             expected_nb[na] = nb
             pos += comb(s, na) * comb(s, nb)
-        assert pos == hilbert.size
+        assert pos == hilbert.sector_size
         return RankSpec(
             n_qubits=hilbert.n_qubits,
             n_shells=s,
-            size=hilbert.size,
+            size=hilbert.sector_size,
             offset=tuple(offset),
             stride=tuple(stride),
             expected_nb=tuple(expected_nb),

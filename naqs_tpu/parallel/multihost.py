@@ -30,8 +30,13 @@ def initialize_distributed(
 ) -> bool:
     """Initialize jax.distributed; no-op (returns False) when single-process.
 
-    On Cloud TPU pods all arguments auto-detect from the environment.
+    On Cloud TPU pods all arguments auto-detect from the environment. A
+    failure is only swallowed when the caller did NOT explicitly request a
+    multi-process run (auto-detection on a single machine raising is the
+    normal single-process case); an explicit request that fails re-raises —
+    masking a real init failure would silently train on 1/N of the fleet.
     """
+    explicit = num_processes is not None and num_processes > 1
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -40,19 +45,24 @@ def initialize_distributed(
         )
         return True
     except (ValueError, RuntimeError):
-        # already initialized, or single-process environment
+        if explicit:
+            raise
         return False
 
 
 def device_key_shard(key, mesh) -> jax.Array:
     """Split a PRNG key into one per global device, sharded over the mesh.
 
-    Every host computes the same split deterministically; jax places each
-    host's shard locally.
-    """
-    import jax.numpy as jnp
+    Every host computes the same split deterministically and contributes its
+    addressable shards via make_array_from_callback (device_put cannot target
+    non-addressable devices in a multi-process run)."""
+    import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.devices.size
-    keys = jax.random.split(key, n)
-    return jax.device_put(keys, NamedSharding(mesh, P("dp")))
+    key_data = np.asarray(jax.random.key_data(jax.random.split(key, n)))
+    sharding = NamedSharding(mesh, P("dp"))
+    global_data = jax.make_array_from_callback(
+        key_data.shape, sharding, lambda idx: key_data[idx]
+    )
+    return jax.random.wrap_key_data(global_data)

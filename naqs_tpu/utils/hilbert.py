@@ -54,6 +54,9 @@ class Hilbert:
 
     n_qubits: int
     sectors: Tuple[Tuple[int, int], ...]
+    # max electrons above the lowest n_electrons spin-orbitals (reference
+    # N_exc_max subspace, hilbert.py:269-271); None = no excitation cap
+    n_exc_max: Optional[int] = None
 
     def __post_init__(self):
         if self.n_qubits % 2 != 0 or not (2 <= self.n_qubits <= 64):
@@ -64,6 +67,13 @@ class Hilbert:
         for (na, nb) in self.sectors:
             if not (0 <= na <= s and 0 <= nb <= s):
                 raise ValueError(f"sector ({na},{nb}) out of range for {s} shells")
+        if self.n_exc_max is not None:
+            ns = {na + nb for (na, nb) in self.sectors}
+            if len(ns) != 1:
+                raise ValueError(
+                    "n_exc_max requires all sectors to share one total "
+                    f"electron count, got {ns}"
+                )
 
     @staticmethod
     def for_molecule(mol, restrict_to_ms: bool = True) -> "Hilbert":
@@ -79,15 +89,45 @@ class Hilbert:
             sectors = tuple((int(a), int(b)) for a, b in zip(nas, nbs))
         return Hilbert(n_qubits=mol.n_qubits, sectors=sectors)
 
+    @staticmethod
+    def full_n_up(n_qubits: int, n_electrons: int,
+                  n_exc_max: Optional[int] = None) -> "Hilbert":
+        """All spin splits of a fixed TOTAL electron count — the reference's
+        full-space N_up subspace used when the per-spin restriction is off
+        (-no_restrictedH; reference _HilbertFull.get_subspace N_up path,
+        hilbert.py:236-271 + energy.py:93-97)."""
+        s = n_qubits // 2
+        sectors = tuple(
+            (na, n_electrons - na)
+            for na in range(max(0, n_electrons - s), min(s, n_electrons) + 1)
+        )
+        return Hilbert(n_qubits=n_qubits, sectors=sectors, n_exc_max=n_exc_max)
+
     @property
     def n_shells(self) -> int:
         return self.n_qubits // 2
 
     @property
-    def size(self) -> int:
+    def sector_size(self) -> int:
+        """Size of the unfiltered sector product space (the rank/dense-table
+        address space; >= len(basis) when n_exc_max filters states)."""
         s = self.n_shells
         sizes = {(na, nb): comb(s, na) * comb(s, nb) for (na, nb) in set(self.sectors)}
         return sum(sizes.values())
+
+    @property
+    def size(self) -> int:
+        if self.n_exc_max is None:
+            return self.sector_size
+        return len(self.basis)
+
+    def excitation_count(self, states: np.ndarray) -> np.ndarray:
+        """Electrons above the lowest n_electrons spin-orbitals (excitations
+        from the HF reference determinant)."""
+        n_up = sum(self.sectors[0])
+        return np.bitwise_count(
+            np.asarray(states, dtype=np.uint64) >> np.uint64(n_up)
+        ).astype(np.int64)
 
     @cached_property
     def basis(self) -> np.ndarray:
@@ -101,6 +141,8 @@ class Hilbert:
             b = _spin_combos(s, nb, beta_w)
             parts.append((a[:, None] | b[None, :]).ravel())
         basis = np.unique(np.concatenate(parts))
+        if self.n_exc_max is not None:
+            basis = basis[self.excitation_count(basis) <= self.n_exc_max]
         return basis.astype(np.uint64)
 
     def state_to_index(self, states: np.ndarray) -> np.ndarray:

@@ -51,3 +51,32 @@ def test_cli_exact_sampling_mode(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.load(open(tmp_path / "out2" / "summary.json"))
     assert summary["e_exact_final"] < -0.95
+
+
+def test_cli_no_restrictedH_trains_over_n_up_space(tmp_path):
+    """-no_restrictedH must actually train over the unrestricted (total-
+    electron-count) space, not just unmask the model (round-1 gap)."""
+    from naqs_tpu.cli import run
+
+    res = run(["-m", "H2", "-n_train", "400", "-lr", "2e-3", "-n_hid", "16",
+               "-n_unq_samps_min", "1", "-n_unq_samps_max", "36",
+               "-no_restrictedH", "-o", str(tmp_path), "-s", "5"])
+    s = res["run_0"]
+    # exact energy is evaluated over the full N_up basis (6 states for H2:
+    # all spin splits of 2 electrons in 2 orbitals)
+    assert s["e_exact_final"] < s["hf_energy"]
+    assert s["e_exact_final"] > s["fci_energy"] - 1e-6  # variational
+
+
+def test_cli_n_excitations_max(tmp_path):
+    """-n_excitations_max restricts both the compiled terms and the basis."""
+    from naqs_tpu.cli import run
+
+    res = run(["-m", "LiH", "-n_train", "30", "-n_hid", "8",
+               "-n_unq_samps_min", "1", "-n_unq_samps_max", "64",
+               "-n_excitations_max", "2", "-presolveH",
+               "-o", str(tmp_path), "-s", "5"])
+    # CISD-truncated presolve: above FCI but below HF
+    e0 = res["presolve_e0"]
+    s = res["run_0"]
+    assert s["fci_energy"] < e0 < s["hf_energy"]

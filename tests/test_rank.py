@@ -124,3 +124,34 @@ def test_rank_quadratic_energy_matches_fallback_and_grad():
     np.testing.assert_allclose(
         np.asarray(g_rank), np.asarray(g_sort), atol=1e-5, rtol=1e-4
     )
+
+
+def test_full_n_up_hilbert_and_rank():
+    """Unrestricted (-no_restrictedH) space: all spin splits of the total
+    electron count; the rank address space covers every sector."""
+    h = Hilbert.full_n_up(12, 4)
+    from math import comb
+    assert h.size == sum(comb(6, na) * comb(6, 4 - na) for na in range(0, 5))
+    spec = RankSpec.for_hilbert(h)
+    idx = np_rank_index(spec, h.basis)
+    assert len(np.unique(idx)) == h.size and idx.max() == h.size - 1
+    # per-spin-restricted states are a strict subset
+    h_r = Hilbert(n_qubits=12, sectors=((2, 2),))
+    assert h_r.size < h.size
+    assert np.isin(h_r.basis, h.basis).all()
+
+
+def test_n_exc_max_filters_basis():
+    """N_exc_max subspace (reference hilbert.py:269-271): at most k electrons
+    above the lowest n_electrons spin-orbitals."""
+    h_full = Hilbert(n_qubits=12, sectors=((2, 2),))
+    h_exc = Hilbert(n_qubits=12, sectors=((2, 2),), n_exc_max=1)
+    assert 0 < h_exc.size < h_full.size
+    assert (h_exc.excitation_count(h_exc.basis) <= 1).all()
+    # HF determinant (zero excitations) is always included
+    assert np.uint64(h_exc.hf_state()) in h_exc.basis
+    # rank addressing still works over the (holey) sector address space
+    spec = RankSpec.for_hilbert(h_exc)
+    assert spec.size == h_exc.sector_size
+    idx = np_rank_index(spec, h_exc.basis)
+    assert len(np.unique(idx)) == h_exc.size and idx.max() < spec.size
