@@ -280,8 +280,11 @@ class VMCTrainer:
 
     def _record_samples(self, batch: SampleBatch):
         nu = int(batch.n_unique)
-        states = np.asarray(batch.states[:nu])
-        counts = np.asarray(batch.counts[:nu])
+        # device->host transfer of the FIXED-shape buffers, slice on host: a
+        # device-side [:nu] slice has a new shape every step, and on the
+        # tunneled TPU every distinct dispatched op costs a remote compile
+        states = np.asarray(batch.states)[:nu]
+        counts = np.asarray(batch.counts)[:nu]
         get = self.sampled_counter.get
         for s, c in zip(states.tolist(), counts.tolist()):
             self.sampled_counter[s] = get(s, 0.0) + c
@@ -600,8 +603,8 @@ class VMCTrainer:
             jnp.float64(n_samps or self.n_samples), self.capacity,
         )
         nu = int(batch.n_unique)
-        states = np.asarray(batch.states[:nu])
-        counts = np.asarray(batch.counts[:nu])
+        states = np.asarray(batch.states)[:nu]
+        counts = np.asarray(batch.counts)[:nu]
         if nu > k_max:
             top = np.argsort(counts)[-k_max:]
             states = np.sort(states[top])

@@ -20,6 +20,7 @@ def _run_cli(args, cwd):
     )
 
 
+@pytest.mark.slow
 def test_cli_h2_end_to_end(tmp_path):
     r = _run_cli(
         ["-m", "H2", "-n_train", "150", "-n_samps", "100000",
@@ -41,6 +42,7 @@ def test_cli_rejects_conflicting_masks(tmp_path):
     assert "at most one" in r.stderr
 
 
+@pytest.mark.slow
 def test_cli_exact_sampling_mode(tmp_path):
     r = _run_cli(
         ["-m", "H2", "-n_train", "150", "-exact_sampling", "-n_hid", "16",
@@ -53,6 +55,7 @@ def test_cli_exact_sampling_mode(tmp_path):
     assert summary["e_exact_final"] < -0.95
 
 
+@pytest.mark.slow
 def test_cli_no_restrictedH_trains_over_n_up_space(tmp_path):
     """-no_restrictedH must actually train over the unrestricted (total-
     electron-count) space, not just unmask the model (round-1 gap)."""
@@ -68,6 +71,7 @@ def test_cli_no_restrictedH_trains_over_n_up_space(tmp_path):
     assert s["e_exact_final"] > s["fci_energy"] - 1e-6  # variational
 
 
+@pytest.mark.slow
 def test_cli_n_excitations_max(tmp_path):
     """-n_excitations_max restricts both the compiled terms and the basis."""
     from naqs_tpu.cli import run

@@ -1,6 +1,7 @@
 """Density sampler, save_psi export, multi-device trainer path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from naqs_tpu.sampler import sample_density
 from naqs_tpu.trainer import TrainConfig, VMCTrainer, save_psi
 
 
+@pytest.mark.slow
 def test_density_sampler_enumerates_support():
     mol = nq.load_molecule("LiH", load_hamiltonian=False)
     h = nq.Hilbert.for_molecule(mol)
@@ -31,6 +33,7 @@ def test_density_sampler_enumerates_support():
     assert expected <= got
 
 
+@pytest.mark.slow
 def test_save_psi_roundtrip(tmp_path):
     mol = nq.load_molecule("H2")
     h = nq.Hilbert.for_molecule(mol)
@@ -48,6 +51,7 @@ def test_save_psi_roundtrip(tmp_path):
     assert np.all(np.diff(psi[:, 0]) <= 1e-9)  # sorted descending
 
 
+@pytest.mark.slow
 def test_trainer_multi_device_path():
     mol = nq.load_molecule("H2")
     h = nq.Hilbert.for_molecule(mol)
@@ -63,6 +67,7 @@ def test_trainer_multi_device_path():
     assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
 
 
+@pytest.mark.slow
 def test_density_training_reaches_chem_acc():
     """The density-sampling training mode (reference
     DensitySamplingOptimizer, energy.py:1058-1205) trains H2 end-to-end."""
@@ -83,6 +88,7 @@ def test_density_training_reaches_chem_acc():
     assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
 
 
+@pytest.mark.slow
 def test_cli_density_mode(tmp_path):
     from naqs_tpu.cli import run
 
@@ -93,6 +99,7 @@ def test_cli_density_mode(tmp_path):
     assert s["e_exact_final"] < s["hf_energy"]
 
 
+@pytest.mark.slow
 def test_solve_h_uses_training_counter():
     """solve_h draws its subspace from the accumulated sampled-state counter
     (reference energy.py:137,300,762-786), capped at top-k."""

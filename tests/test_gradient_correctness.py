@@ -7,6 +7,7 @@ overflow-safe) quadratic Rayleigh quotient.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
@@ -16,6 +17,7 @@ from naqs_tpu.models.nade import NAQSConfig, init_params, log_psi
 from naqs_tpu.ops.local_energy import DeviceTerms, local_energy, quadratic_energy
 
 
+@pytest.mark.slow
 def test_surrogate_gradient_matches_autodiff_energy_gradient():
     mol = nq.load_molecule("LiH")
     h = nq.Hilbert.for_molecule(mol)

@@ -104,6 +104,7 @@ def test_no_spin_sym_breaks_symmetry():
     assert not np.allclose(np.asarray(la1), np.asarray(la2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shell_conditional_matches_predict_tables():
     """Sampler-facing single-shell eval must agree with the stacked predict."""
     mol = load_molecule("H2O", load_hamiltonian=False)
@@ -125,6 +126,7 @@ def test_shell_conditional_matches_predict_tables():
         )
 
 
+@pytest.mark.slow
 def test_multi_sector_masking_open_shell():
     mol = load_molecule("O2", load_hamiltonian=False)
     h = Hilbert.for_molecule(mol, restrict_to_ms=False)

@@ -28,6 +28,7 @@ def _cfg(name="LiH", **kw):
     dict(num_lut=2, combined_amp_phase=True),
     dict(num_lut=1, aggregate_phase=True),
 ])
+@pytest.mark.slow
 def test_variant_normalization_and_shell_consistency(kw):
     mol, h, cfg = _cfg(**kw)
     params = init_params(jax.random.key(0), cfg)
@@ -49,6 +50,7 @@ def test_variant_normalization_and_shell_consistency(kw):
         )
 
 
+@pytest.mark.slow
 def test_lut_param_group_and_training():
     mol = nq.load_molecule("H2")
     h = nq.Hilbert.for_molecule(mol)
@@ -83,6 +85,7 @@ def test_exact_sampling_training():
     dict(input_encoding="integer", use_amp_spin_sym=False),
     dict(input_encoding="integer", num_lut=2, aggregate_phase=True),
 ])
+@pytest.mark.slow
 def test_integer_encoding(kw):
     mol, h, cfg = _cfg(**kw)
     params = init_params(jax.random.key(9), cfg)

@@ -44,6 +44,7 @@ def test_molecule_loads_and_hf_diagonal(rel):
         assert all((int(a), int(b)) in sector_set for a, b in zip(na, nb))
 
 
+@pytest.mark.slow
 def test_widest_system_h2_ccpvtz():
     """56 qubits (28 shells): packed-u64 and uint32-frontier limits hold."""
     import jax

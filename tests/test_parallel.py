@@ -16,6 +16,7 @@ def test_virtual_mesh_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_step_trains_h2():
     mol = nq.load_molecule("H2")
     h = nq.Hilbert.for_molecule(mol)
@@ -50,6 +51,7 @@ def test_sharded_step_trains_h2():
     assert np.mean(e_hist[-20:]) < np.mean(e_hist[:20]) - 0.1
 
 
+@pytest.mark.slow
 def test_sharded_metrics_match_single_chip_statistics():
     """Global count-weighted <E_loc> from the mesh must be consistent with a
     single-chip estimate (same params, same physics) within noise."""
@@ -89,6 +91,7 @@ def test_sr_with_multiple_devices_fails_loudly():
         VMCTrainer(cfg, terms, h, TrainConfig(use_sr=True), n_devices=2)
 
 
+@pytest.mark.slow
 def test_sharded_overflow_withholds_update():
     """On capacity overflow the device step must NOT apply the (biased)
     gradient update; the controller resamples first (round-1 defect)."""
@@ -116,6 +119,7 @@ def test_sharded_overflow_withholds_update():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sharded_n_unique_is_globally_deduplicated():
     """Identical PRNG keys on every shard produce identical per-shard sample
     sets; the reported n_unique must count each state once, not 8x."""
@@ -139,6 +143,7 @@ def test_sharded_n_unique_is_globally_deduplicated():
     assert 0 < int(m["n_unique"]) <= cap, int(m["n_unique"])
 
 
+@pytest.mark.slow
 def test_trainer_sharded_step_controller_resamples_on_overflow():
     """VMCTrainer._step_sharded backs off n_samples on overflow and still
     completes a (non-overflowed) training step."""

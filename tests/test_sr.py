@@ -1,12 +1,14 @@
 """Stochastic-reconfiguration (natural gradient) training."""
 
 import numpy as np
+import pytest
 
 import naqs_tpu as nq
 from naqs_tpu.models.nade import NAQSConfig
 from naqs_tpu.trainer import TrainConfig, VMCTrainer
 
 
+@pytest.mark.slow
 def test_sr_trains_h2_to_chemical_accuracy():
     mol = nq.load_molecule("H2")
     h = nq.Hilbert.for_molecule(mol)
@@ -23,6 +25,7 @@ def test_sr_trains_h2_to_chemical_accuracy():
     assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
 
 
+@pytest.mark.slow
 def test_sr_beats_adam_per_step():
     """Natural gradient must make materially more progress per step than Adam
     at the reference LR on the same budget."""
@@ -48,6 +51,7 @@ def test_sr_beats_adam_per_step():
     assert e_sr < e_adam - 0.02, (e_sr, e_adam)
 
 
+@pytest.mark.slow
 def test_warm_start_from_solve_h_escapes_and_converges():
     """Sample -> subspace FCI -> supervised warm start -> VMC reaches the
     subspace ground state region quickly."""

@@ -33,6 +33,7 @@ def h2_trained():
     return mol, tr
 
 
+@pytest.mark.slow
 def test_h2_chemical_accuracy(h2_trained):
     mol, tr = h2_trained
     e = tr.exact_energy()
@@ -40,6 +41,7 @@ def test_h2_chemical_accuracy(h2_trained):
     assert e > mol.fci_energy - 1e-6  # variational bound
 
 
+@pytest.mark.slow
 def test_h2_solve_h_refinement(h2_trained):
     mol, tr = h2_trained
     e, n_unq = tr.solve_h(n_samps=1e5)
@@ -47,6 +49,7 @@ def test_h2_solve_h_refinement(h2_trained):
     assert n_unq <= 4
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, h2_trained):
     mol, tr = h2_trained
     tr.save_loc = str(tmp_path)
@@ -59,6 +62,7 @@ def test_checkpoint_roundtrip(tmp_path, h2_trained):
     assert abs(tr.exact_energy() - e_before) < 1e-9
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_is_bit_faithful(tmp_path, h2_trained):
     """A resumed run must reproduce the interrupted run's sample stream:
     the PRNG key (and controller state) are part of the checkpoint."""
