@@ -70,6 +70,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="stochastic-reconfiguration (natural gradient) updates")
     p.add_argument("-sr_damping", type=float, default=1e-3)
     p.add_argument("-sr_cg_iters", type=int, default=50)
+    p.add_argument("-kfac", action="store_true",
+                   help="K-FAC natural-gradient updates (reference "
+                        "KFACOptimizer, src/optimizer/utils.py:19-268)")
+    p.add_argument("-kfac_damping", type=float, default=1e-2)
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")
     p.add_argument("-sample_dP", type=float, default=-1,
@@ -209,6 +213,8 @@ def run(args=None) -> dict:
             use_sr=args.sr,
             sr_damping=args.sr_damping,
             sr_cg_iters=args.sr_cg_iters,
+            use_kfac=args.kfac,
+            kfac_damping=args.kfac_damping,
             seed=seed + run_i,
         )
         import jax as _jax

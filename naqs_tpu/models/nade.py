@@ -168,23 +168,37 @@ def count_parameters(params) -> int:
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _mlp_stack_apply(layers, x):
-    """x: (..., n_stack, d_in) -> (..., n_stack, d_out); ReLU between layers."""
+def _mlp_stack_apply(layers, x, eps=None, taps=None):
+    """x: (..., n_stack, d_in) -> (..., n_stack, d_out); ReLU between layers.
+
+    `eps`: optional per-layer zero perturbations added to each pre-activation
+    (grad w.r.t. eps[li] = per-example pre-activation gradient); `taps`: a
+    list collecting each layer's input. Both serve KFAC factor estimation
+    (naqs_tpu/kfac.py; reference KFACOptimizer, src/optimizer/utils.py:19-268).
+    """
     n = len(layers)
     for li, lyr in enumerate(layers):
+        if taps is not None:
+            taps.append(x)
         x = jnp.einsum("...si,sio->...so", x, lyr["w"], precision=_PRECISION) + lyr["b"]
+        if eps is not None:
+            x = x + eps[li]
         if li < n - 1:
             x = jax.nn.relu(x)
     return x
 
 
-def _mlp_single_apply(layers, idx, x):
+def _mlp_single_apply(layers, idx, x, eps=None, taps=None):
     """Apply one shell's slice of a stacked MLP. x: (..., d_in)."""
     n = len(layers)
     for li, lyr in enumerate(layers):
+        if taps is not None:
+            taps.append(x)
         w = lyr["w"][idx] if lyr["w"].shape[0] > 1 else lyr["w"][0]
         b = lyr["b"][idx] if lyr["b"].shape[0] > 1 else lyr["b"][0]
         x = jnp.dot(x, w, precision=_PRECISION) + b
+        if eps is not None:
+            x = x + eps[li]
         if li < n - 1:
             x = jax.nn.relu(x)
     return x
@@ -363,12 +377,17 @@ def _apply_luts(cfg, tables, x, raw, canonical=True):
     return raw
 
 
-def _tables(cfg: NAQSConfig, params, alpha, beta, st):
+def _tables(cfg: NAQSConfig, params, alpha, beta, st, eps=None, taps=None):
     """Per-shell conditional tables: (log_amp4, mask4, phase4), each
-    (..., S, 4) in MODEL shell order."""
+    (..., S, 4) in MODEL shell order.
+
+    eps/taps: optional KFAC instrumentation dicts keyed "amp"/"phase"
+    (see _mlp_stack_apply)."""
     s = cfg.n_shells
+    eps = eps or {}
     x_amp = shell_inputs(cfg, alpha, beta, canonical=cfg.use_amp_spin_sym)
-    raw = _mlp_stack_apply(params["amp"], x_amp)
+    raw = _mlp_stack_apply(params["amp"], x_amp, eps.get("amp"),
+                           None if taps is None else taps.setdefault("amp", []))
     if cfg.num_lut:
         raw = _apply_luts(cfg, params["lut"], x_amp, raw, cfg.use_amp_spin_sym)
 
@@ -382,15 +401,18 @@ def _tables(cfg: NAQSConfig, params, alpha, beta, st):
             if cfg.use_phase_spin_sym == cfg.use_amp_spin_sym
             else shell_inputs(cfg, alpha, beta, canonical=cfg.use_phase_spin_sym)
         )
+        ph_taps = None if taps is None else taps.setdefault("phase", [])
         if cfg.aggregate_phase:
-            raw_phase = _mlp_stack_apply(params["phase"], x_ph)  # (B, S, 3|4)
+            raw_phase = _mlp_stack_apply(params["phase"], x_ph, eps.get("phase"),
+                                         ph_taps)  # (B, S, 3|4)
             if cfg.num_lut:
                 raw_phase = _apply_luts(
                     cfg, params["lut_phase"], x_ph, raw_phase, cfg.use_phase_spin_sym
                 )
         else:
             # one global net evaluated on the final shell's input
-            raw_last = _mlp_single_apply(params["phase"], 0, x_ph[..., s - 1, :])
+            raw_last = _mlp_single_apply(params["phase"], 0, x_ph[..., s - 1, :],
+                                         eps.get("phase"), ph_taps)
             raw_phase = jnp.zeros((*x_ph.shape[:-1], raw_last.shape[-1]), raw_last.dtype)
             raw_phase = raw_phase.at[..., s - 1, :].set(raw_last)
 
@@ -449,6 +471,42 @@ def log_psi(cfg: NAQSConfig, params, states: jnp.ndarray):
     la = jnp.take_along_axis(log_amp4, occ, axis=-1)[..., 0]
     ph = jnp.take_along_axis(phase4, occ, axis=-1)[..., 0]
     return jnp.sum(la, axis=-1), jnp.sum(ph, axis=-1)
+
+
+def make_zero_eps(cfg: NAQSConfig, params, batch_size: int) -> dict:
+    """Zero pre-activation perturbations matching log_psi_taps's forward.
+
+    Differentiating w.r.t. these yields per-example pre-activation gradients
+    (the `g` of KFAC's G = E[g g^T]; naqs_tpu/kfac.py)."""
+    eps = {}
+    for name in ("amp", "phase"):
+        if name not in params:
+            continue
+        layers = []
+        for lyr in params[name]:
+            n_stack, d_out = lyr["b"].shape
+            if name == "phase" and not cfg.aggregate_phase:
+                layers.append(jnp.zeros((batch_size, d_out), lyr["b"].dtype))
+            else:
+                layers.append(jnp.zeros((batch_size, n_stack, d_out), lyr["b"].dtype))
+        eps[name] = layers
+    return eps
+
+
+def log_psi_taps(cfg: NAQSConfig, params, states: jnp.ndarray, eps: dict):
+    """log_psi with KFAC instrumentation: adds `eps` (zeros) to every dense
+    pre-activation and returns each layer's input.
+
+    Returns ((log_amp, phase), taps) where taps[name][li] is the input to
+    dense layer li of stack `name`."""
+    alpha, beta = split_spins(cfg, states)
+    st = prefix_stats(alpha, beta)
+    taps: dict = {}
+    log_amp4, _, phase4 = _tables(cfg, params, alpha, beta, st, eps=eps, taps=taps)
+    occ = (alpha + 2 * beta).astype(jnp.int32)[..., None]
+    la = jnp.take_along_axis(log_amp4, occ, axis=-1)[..., 0]
+    ph = jnp.take_along_axis(phase4, occ, axis=-1)[..., 0]
+    return (jnp.sum(la, axis=-1), jnp.sum(ph, axis=-1)), taps
 
 
 # ------------------------------------------------ sampler-facing single shell

@@ -92,6 +92,10 @@ class TrainConfig:
     use_sr: bool = False            # stochastic-reconfiguration natural gradient
     sr_damping: float = 1e-3
     sr_cg_iters: int = 50
+    use_kfac: bool = False          # Kronecker-factored natural gradient
+    kfac_damping: float = 1e-2
+    kfac_decay: float = 0.95
+    kfac_kl_clip: float = 1e-3
     seed: int = 0
 
     def make_optimizer(self, has_lut: bool = False) -> optax.GradientTransformation:
@@ -252,13 +256,16 @@ class VMCTrainer:
         self.n_samples = float(train_cfg.n_samples)
         self.capacity = int(train_cfg.n_unq_samples_max)
         self.n_devices = int(n_devices)
+        self.kfac_state = None
         self._sharded_step = None
+        if train_cfg.use_sr and train_cfg.use_kfac:
+            raise ValueError("use_sr and use_kfac are mutually exclusive")
         if self.n_devices > 1:
-            if train_cfg.use_sr:
+            if train_cfg.use_sr or train_cfg.use_kfac:
                 raise ValueError(
-                    "use_sr with n_devices > 1 is not implemented: the "
-                    "sharded step would silently train plain Adam. Run SR "
-                    "single-device or drop -sr."
+                    "use_sr/use_kfac with n_devices > 1 is not implemented: "
+                    "the sharded step would silently train plain Adam. Run "
+                    "natural-gradient modes single-device."
                 )
             from naqs_tpu.parallel import make_mesh, make_sharded_train_step
 
@@ -381,6 +388,18 @@ class VMCTrainer:
                 jnp.float64(self._current_lr()),
                 jnp.float64(self.tc.sr_damping),
                 cg_iters=self.tc.sr_cg_iters,
+            )
+        elif self.tc.use_kfac:
+            from naqs_tpu.kfac import kfac_init, kfac_update
+
+            if self.kfac_state is None:
+                self.kfac_state = kfac_init(self.params)
+            self.params, self.kfac_state, metrics = kfac_update(
+                self.cfg, self.params, self.kfac_state, self.dt, batch,
+                jnp.float32(self._current_lr()),
+                jnp.float32(self.tc.kfac_damping),
+                jnp.float32(self.tc.kfac_decay),
+                jnp.float32(self.tc.kfac_kl_clip),
             )
         else:
             self.params, self.opt_state, metrics = vmc_update(

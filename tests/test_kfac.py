@@ -1,0 +1,93 @@
+"""K-FAC natural gradient (naqs_tpu/kfac.py): factor shapes, training, parity
+of the instrumented forward with the plain one."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import naqs_tpu as nq
+from naqs_tpu.models.nade import (
+    NAQSConfig, init_params, log_psi, log_psi_taps, make_zero_eps,
+)
+from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+
+def _setup(name="H2", hidden=(16,), **kw):
+    mol = nq.load_molecule(name)
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     amp_hidden=hidden, phase_hidden=hidden,
+                     masking="partial", **kw)
+    return mol, h, terms, cfg
+
+
+def test_instrumented_forward_matches_log_psi():
+    mol, h, terms, cfg = _setup("LiH", hidden=(12, 12))
+    params = init_params(jax.random.key(0), cfg)
+    states = jnp.asarray(h.basis[:64])
+    eps = make_zero_eps(cfg, params, 64)
+    (la_t, ph_t), taps = log_psi_taps(cfg, params, states, eps)
+    la, ph = log_psi(cfg, params, states)
+    np.testing.assert_allclose(np.asarray(la_t), np.asarray(la), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ph_t), np.asarray(ph), rtol=1e-6)
+    # taps: one input per dense layer, correct widths
+    assert len(taps["amp"]) == len(params["amp"])
+    assert taps["amp"][0].shape == (64, cfg.n_shells, cfg.in_width)
+
+
+def test_eps_grad_is_preactivation_gradient():
+    """d loss / d eps must equal the pre-activation gradient: for the last
+    layer, grad wrt bias == sum over batch of eps-grad."""
+    mol, h, terms, cfg = _setup("H2")
+    params = init_params(jax.random.key(1), cfg)
+    states = jnp.asarray(h.basis)
+    n = states.shape[0]
+
+    def loss(p, eps):
+        (la, ph), _ = log_psi_taps(cfg, p, states, eps)
+        return jnp.sum(la ** 2 + 0.3 * ph)
+
+    eps = make_zero_eps(cfg, params, n)
+    g_p, g_e = jax.grad(loss, argnums=(0, 1))(params, eps)
+    for name in ("amp", "phase"):
+        gb = np.asarray(g_p[name][-1]["b"])
+        ge = np.asarray(g_e[name][-1])
+        np.testing.assert_allclose(
+            ge.sum(axis=0).reshape(gb.shape), gb, rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_kfac_trains_h2_to_chemical_accuracy():
+    mol, h, terms, cfg = _setup("H2", hidden=(32,))
+    tc = TrainConfig(use_kfac=True, n_train=400, lr=5e-2, lr_final=2e-3,
+                     n_samples=1e5, n_unq_samples_min=1, n_unq_samples_max=8)
+    tr = VMCTrainer(cfg, terms, h, tc)
+    for _ in range(400):
+        out = tr.step()
+    e = tr.exact_energy()
+    assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
+
+
+@pytest.mark.slow
+def test_kfac_recovers_most_correlation_on_lih():
+    """120 KFAC steps on LiH recover the bulk of the correlation energy
+    (the tuned-budget optimizer comparison lives in RESULTS.md)."""
+    mol, h, terms, cfg = _setup("LiH", hidden=(16,))
+    tc = TrainConfig(use_kfac=True, n_train=400, lr=5e-2, lr_final=5e-3,
+                     n_samples=1e5, n_unq_samples_min=1,
+                     n_unq_samples_max=256, seed=2)
+    tr = VMCTrainer(cfg, terms, h, tc)
+    for _ in range(400):
+        tr.step()
+    e = tr.exact_energy()
+    corr = (mol.hf_energy - e) / (mol.hf_energy - mol.fci_energy)
+    assert corr > 0.5, (e, corr)
+
+
+def test_kfac_multi_device_fails_loudly():
+    mol, h, terms, cfg = _setup("H2")
+    with pytest.raises(ValueError, match="use_sr/use_kfac"):
+        VMCTrainer(cfg, terms, h, TrainConfig(use_kfac=True), n_devices=2)
