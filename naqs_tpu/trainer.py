@@ -285,13 +285,20 @@ class VMCTrainer:
         self.sampled_counter: dict[int, float] = {}
         self.d_p = 1e-8  # density-sampling threshold (run_density)
 
-    def _record_samples(self, batch: SampleBatch):
-        nu = int(batch.n_unique)
+    # recording every step costs a device->host transfer over the (high-
+    # latency) tunnel; the top-k-most-sampled statistic is insensitive to
+    # subsampling, so record every few steps
+    RECORD_FREQ = 5
+
+    def _record_samples(self, batch: SampleBatch, n_unq: Optional[int] = None):
+        if self.n_steps % self.RECORD_FREQ:
+            return
+        nu = int(batch.n_unique) if n_unq is None else n_unq
         # device->host transfer of the FIXED-shape buffers, slice on host: a
         # device-side [:nu] slice has a new shape every step, and on the
         # tunneled TPU every distinct dispatched op costs a remote compile
-        states = np.asarray(batch.states)[:nu]
-        counts = np.asarray(batch.counts)[:nu]
+        states, counts = jax.device_get((batch.states, batch.counts))
+        states, counts = states[:nu], counts[:nu]
         get = self.sampled_counter.get
         for s, c in zip(states.tolist(), counts.tolist()):
             self.sampled_counter[s] = get(s, 0.0) + c
@@ -304,8 +311,10 @@ class VMCTrainer:
             batch = sample(
                 self.cfg, self.params, k, jnp.float64(self.n_samples), self.capacity
             )
-            overflow = bool(batch.overflow)
-            n_unq = int(batch.n_unique) if not overflow else self.capacity + 1
+            # one round-trip for both controller scalars (tunnel latency)
+            n_unq_d, overflow = jax.device_get((batch.n_unique, batch.overflow))
+            overflow = bool(overflow)
+            n_unq = int(n_unq_d) if not overflow else self.capacity + 1
             action = -1 if overflow else 0
             at_min = self.n_samples <= self.tc.n_unq_samples_min
             at_max = self.n_samples >= self.tc.n_samples_max
@@ -414,10 +423,14 @@ class VMCTrainer:
         self.n_steps += 1
         dt_step = time.time() - t0
         self.run_time += dt_step
+        # one device->host round-trip for all per-step scalars
+        e_loc, e_var, n_unq = jax.device_get(
+            (metrics["e_loc"], metrics["e_loc_var"], batch.n_unique)
+        )
         out = {
-            "e_loc": float(metrics["e_loc"]),
-            "e_loc_var": float(metrics["e_loc_var"]),
-            "n_unique": int(batch.n_unique),
+            "e_loc": float(e_loc),
+            "e_loc_var": float(e_var),
+            "n_unique": int(n_unq),
             "n_samples": self.n_samples,
             "time": dt_step,
         }
