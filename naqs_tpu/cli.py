@@ -118,6 +118,18 @@ def run(args=None) -> dict:
 
     import jax
 
+    # persistent compilation cache: repeated runs (seed batches, resumed
+    # segments) reuse executables instead of paying the remote compile again
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("NAQS_TPU_COMPILE_CACHE",
+                           os.path.join("data", "jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the option
+
     import naqs_tpu as nq
     from naqs_tpu.models.nade import NAQSConfig, count_parameters
     from naqs_tpu.trainer import TrainConfig, VMCTrainer
