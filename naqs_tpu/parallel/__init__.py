@@ -1,1 +1,5 @@
-from naqs_tpu.parallel.step import make_mesh, make_sharded_train_step  # noqa: F401
+from naqs_tpu.parallel.step import (  # noqa: F401
+    make_mesh,
+    make_sharded_sr_step,
+    make_sharded_train_step,
+)

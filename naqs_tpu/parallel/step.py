@@ -2,7 +2,7 @@
 
 The reference is strictly single-process/single-GPU (SURVEY.md section 2.3);
 this layer is new, designed TPU-first: a 1-D device mesh over axis "dp",
-``shard_map``-ed sample -> E_loc -> grad step with
+``shard_map``-ed sample -> E_loc -> update steps with
 
   * per-shard ancestral sampling under distinct PRNG keys (duplicate unique
     states across shards are harmless: weighting is count-based),
@@ -10,7 +10,11 @@ this layer is new, designed TPU-first: a 1-D device mesh over axis "dp",
     every shard computes local energies against the GLOBAL support — better
     E_loc coverage than any single chip,
   * psum'd energy/variance/gradients over ICI; parameters replicated (the
-    ansatz is ~1e5 params — no tensor parallelism needed).
+    ansatz is ~1e5 params — no tensor parallelism needed),
+  * two optimizers: first-order (optax Adam, make_sharded_train_step) and
+    stochastic reconfiguration (make_sharded_sr_step), whose matrix-free
+    S@v products psum per-shard jvp/vjp contributions so the CG solve runs
+    replicated on every chip.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, PartitionSpec as P
 
 from naqs_tpu.models.nade import NAQSConfig, log_psi
@@ -31,6 +36,61 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("dp",))
 
 
+def _keep_unless(flag, new, old):
+    """Select old values when flag is set, elementwise over a pytree."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(flag, o, n), new, old
+    )
+
+
+def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap):
+    """Shared sharded front half: per-shard sample, all-gather the global
+    psi table, local energies of local rows against the global support.
+
+    Returns (batch, live, w, e_re, e_im, stats) where w sums to 1 GLOBALLY
+    and stats = (e_mean, e_mean_im, e_var, n_unique_global, overflow).
+    """
+    batch = sample(cfg, params, key, n_samples / n_dev, cap)
+    live = jnp.arange(batch.states.shape[0]) < batch.n_unique
+
+    la_l, ph_l = log_psi(cfg, params, batch.states)
+    la_l, ph_l = jax.lax.stop_gradient((la_l, ph_l))
+    g_states = jax.lax.all_gather(batch.states, "dp").reshape(-1)
+    g_la = jax.lax.all_gather(la_l, "dp").reshape(-1)
+    g_ph = jax.lax.all_gather(ph_l, "dp").reshape(-1)
+    g_live = jax.lax.all_gather(live, "dp").reshape(-1)
+    # re-sort the merged buffer (padding SENTINELs sort last)
+    order = jnp.argsort(g_states)
+    g_states = g_states[order]
+    g_la = g_la[order]
+    g_ph = g_ph[order]
+    g_live_s = g_live[order]
+    g_n_valid = jnp.sum(g_live).astype(jnp.int32)
+    # globally deduplicated unique count: shards sample independently, so
+    # the same state may appear on several shards (harmless for count-
+    # based weights, but the controller must not see an inflated count)
+    new_key = jnp.concatenate(
+        [jnp.ones((1,), bool), g_states[1:] != g_states[:-1]]
+    )
+    n_unique_global = jnp.sum(new_key & g_live_s).astype(jnp.int32)
+
+    pos = jnp.searchsorted(g_states, batch.states)
+    pos = jnp.minimum(pos, g_states.shape[0] - 1)
+    e_re_g, e_im_g = local_energy(dt, g_states, g_la, g_ph, g_n_valid)
+    e_re = jnp.where(live, e_re_g[pos], 0.0)
+    e_im = jnp.where(live, e_im_g[pos], 0.0)
+
+    counts = jnp.where(live, batch.counts, 0.0)
+    total = jax.lax.psum(jnp.sum(counts), "dp")
+    w = counts / total
+    e_mean = jax.lax.psum(jnp.sum(w * e_re), "dp")
+    e_mean_im = jax.lax.psum(jnp.sum(w * e_im), "dp")
+    e_var = jax.lax.psum(jnp.sum(w * (e_re - e_mean) ** 2), "dp")
+    overflow = jax.lax.psum(batch.overflow.astype(jnp.int32), "dp") > 0
+    stats = (e_mean, e_mean_im, e_var, n_unique_global, overflow)
+    return batch, live, w, e_re, e_im, stats
+
+
 def make_sharded_train_step(
     cfg: NAQSConfig,
     optimizer: optax.GradientTransformation,
@@ -40,53 +100,18 @@ def make_sharded_train_step(
     """Returns jitted step(params, opt_state, dt, keys, n_samples) ->
     (params, opt_state, metrics). `keys` must be jax.random.split(key, D).
 
-    params/opt_state/dt replicated; keys sharded over "dp".
+    params/opt_state/dt replicated; keys sharded over "dp". On capacity
+    overflow the (biased) update is withheld — the host controller backs
+    off n_samples and resamples, matching the single-chip get_samples
+    semantics (reference energy.py:943-969).
     """
     n_dev = mesh.devices.size
 
     def _device_step(params, opt_state, dt: DeviceTerms, keys, n_samples):
-        key = keys[0]
-        batch = sample(
-            cfg, params, key, n_samples / n_dev, capacity_per_device
+        batch, live, w, e_re, e_im, stats = _sample_and_energy(
+            cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device
         )
-        live = jnp.arange(batch.states.shape[0]) < batch.n_unique
-
-        # global sampled wavefunction table for the E_loc lookup
-        la_l, ph_l = log_psi(cfg, params, batch.states)
-        la_l, ph_l = jax.lax.stop_gradient((la_l, ph_l))
-        g_states = jax.lax.all_gather(batch.states, "dp").reshape(-1)
-        g_la = jax.lax.all_gather(la_l, "dp").reshape(-1)
-        g_ph = jax.lax.all_gather(ph_l, "dp").reshape(-1)
-        g_live = jax.lax.all_gather(live, "dp").reshape(-1)
-        # re-sort the merged buffer (padding SENTINELs sort last)
-        order = jnp.argsort(g_states)
-        g_states = g_states[order]
-        g_la = g_la[order]
-        g_ph = g_ph[order]
-        g_live_s = g_live[order]
-        g_n_valid = jnp.sum(g_live).astype(jnp.int32)
-        # globally deduplicated unique count: shards sample independently, so
-        # the same state may appear on several shards (harmless for count-
-        # based weights, but the controller must not see an inflated count)
-        new_key = jnp.concatenate(
-            [jnp.ones((1,), bool), g_states[1:] != g_states[:-1]]
-        )
-        n_unique_global = jnp.sum(new_key & g_live_s).astype(jnp.int32)
-
-        # local-state log psi of each local row inside the merged table is
-        # just la_l/ph_l; E_loc for local rows against the global support
-        pos = jnp.searchsorted(g_states, batch.states)
-        pos = jnp.minimum(pos, g_states.shape[0] - 1)
-        e_re_g, e_im_g = local_energy(dt, g_states, g_la, g_ph, g_n_valid)
-        e_re = jnp.where(live, e_re_g[pos], 0.0)
-        e_im = jnp.where(live, e_im_g[pos], 0.0)
-
-        counts = jnp.where(live, batch.counts, 0.0)
-        total = jax.lax.psum(jnp.sum(counts), "dp")
-        w = counts / total
-        e_mean = jax.lax.psum(jnp.sum(w * e_re), "dp")
-        e_mean_im = jax.lax.psum(jnp.sum(w * e_im), "dp")
-        e_var = jax.lax.psum(jnp.sum(w * (e_re - e_mean) ** 2), "dp")
+        e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
 
         d_re = (e_re - e_mean).astype(jnp.float32)
         d_im = (e_im - e_mean_im).astype(jnp.float32)
@@ -98,18 +123,10 @@ def make_sharded_train_step(
 
         grads = jax.grad(loss_fn)(params)
         grads = jax.lax.psum(grads, "dp")
-        overflow = jax.lax.psum(batch.overflow.astype(jnp.int32), "dp") > 0
         new_updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, new_updates)
-        # an overflowed capacity buffer is a truncated (biased) sample: do NOT
-        # apply the update — the host controller backs off n_samples and
-        # resamples, matching the single-chip get_samples semantics
-        # (reference energy.py:943-969)
-        keep = lambda new, old: jax.tree_util.tree_map(
-            lambda n, o: jnp.where(overflow, o, n), new, old
-        )
-        params = keep(new_params, params)
-        opt_state = keep(new_opt_state, opt_state)
+        params = _keep_unless(overflow, new_params, params)
+        opt_state = _keep_unless(overflow, new_opt_state, opt_state)
         metrics = {
             "e_loc": e_mean,
             "e_loc_var": e_var,
@@ -123,6 +140,73 @@ def make_sharded_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P("dp"), P()),
         out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_sr_step(
+    cfg: NAQSConfig,
+    mesh: Mesh,
+    capacity_per_device: int,
+    cg_iters: int = 50,
+):
+    """Stochastic-reconfiguration step over the mesh (sr.py, data-parallel).
+
+    Returns jitted step(params, dt, keys, n_samples, lr, damping) ->
+    (params, metrics). The quantum-Fisher matvec S@v psums per-shard
+    jvp/vjp contributions, so conjugate gradients runs on identical
+    replicated values on every chip.
+    """
+    n_dev = mesh.devices.size
+
+    def _device_step(params, dt: DeviceTerms, keys, n_samples, lr, damping):
+        flat0, unravel = ravel_pytree(params)
+        batch, live, w, e_re, e_im, stats = _sample_and_energy(
+            cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device
+        )
+        e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
+        d_re = e_re - e_mean
+        d_im = e_im - e_mean_im
+
+        def f(flat):
+            la, ph = log_psi(cfg, unravel(flat), batch.states)
+            return la.astype(jnp.float64), ph.astype(jnp.float64)
+
+        _, vjp = jax.vjp(f, flat0)
+        grad = jax.lax.psum(
+            (2.0 * vjp((w * d_re, w * d_im))[0]).astype(flat0.dtype), "dp"
+        )
+        damping = damping.astype(flat0.dtype)
+
+        def s_matvec(v):
+            u_la, u_ph = jax.jvp(f, (flat0,), (v,))[1]
+            u_la = u_la - jax.lax.psum(jnp.sum(w * u_la), "dp")
+            u_ph = u_ph - jax.lax.psum(jnp.sum(w * u_ph), "dp")
+            sv = jax.lax.psum(
+                vjp((w * u_la, w * u_ph))[0].astype(flat0.dtype), "dp"
+            )
+            return sv + damping * v
+
+        x, _ = jax.scipy.sparse.linalg.cg(
+            s_matvec, grad, x0=grad, maxiter=cg_iters, tol=1e-10
+        )
+        new_flat = flat0 - lr.astype(flat0.dtype) * x
+        params = _keep_unless(overflow, unravel(new_flat), params)
+        metrics = {
+            "e_loc": e_mean,
+            "e_loc_var": e_var,
+            "n_unique": n_unique_global,
+            "overflow": overflow,
+            "grad_norm": jnp.linalg.norm(grad),
+        }
+        return params, metrics
+
+    sharded = jax.shard_map(
+        _device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P(), P(), P()),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

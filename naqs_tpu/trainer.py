@@ -258,22 +258,30 @@ class VMCTrainer:
         self.n_devices = int(n_devices)
         self.kfac_state = None
         self._sharded_step = None
+        self._sharded_sr_step = None
         if train_cfg.use_sr and train_cfg.use_kfac:
             raise ValueError("use_sr and use_kfac are mutually exclusive")
         if self.n_devices > 1:
-            if train_cfg.use_sr or train_cfg.use_kfac:
+            if train_cfg.use_kfac:
                 raise ValueError(
-                    "use_sr/use_kfac with n_devices > 1 is not implemented: "
-                    "the sharded step would silently train plain Adam. Run "
-                    "natural-gradient modes single-device."
+                    "use_kfac with n_devices > 1 is not implemented: the "
+                    "sharded step would silently train plain Adam. Run KFAC "
+                    "single-device."
                 )
-            from naqs_tpu.parallel import make_mesh, make_sharded_train_step
+            from naqs_tpu.parallel import (
+                make_mesh, make_sharded_sr_step, make_sharded_train_step,
+            )
 
             mesh = make_mesh(jax.devices()[: self.n_devices])
             cap_per_dev = max(64, self.capacity // self.n_devices)
-            self._sharded_step = make_sharded_train_step(
-                model_cfg, self.optimizer, mesh, cap_per_dev
-            )
+            if train_cfg.use_sr:
+                self._sharded_sr_step = make_sharded_sr_step(
+                    model_cfg, mesh, cap_per_dev, cg_iters=train_cfg.sr_cg_iters
+                )
+            else:
+                self._sharded_step = make_sharded_train_step(
+                    model_cfg, self.optimizer, mesh, cap_per_dev
+                )
         self.n_steps = 0
         self.run_time = 0.0
         self.save_loc = save_loc
@@ -344,10 +352,17 @@ class VMCTrainer:
         for _ in range(max_retries):
             self.key, k = jax.random.split(self.key)
             keys = jax.random.split(k, self.n_devices)
-            self.params, self.opt_state, metrics = self._sharded_step(
-                self.params, self.opt_state, self.dt, keys,
-                jnp.float64(self.n_samples),
-            )
+            if self._sharded_sr_step is not None:
+                self.params, metrics = self._sharded_sr_step(
+                    self.params, self.dt, keys, jnp.float64(self.n_samples),
+                    jnp.float64(self._current_lr()),
+                    jnp.float64(self.tc.sr_damping),
+                )
+            else:
+                self.params, self.opt_state, metrics = self._sharded_step(
+                    self.params, self.opt_state, self.dt, keys,
+                    jnp.float64(self.n_samples),
+                )
             if not bool(metrics["overflow"]):
                 break
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
@@ -384,7 +399,7 @@ class VMCTrainer:
         return self.tc.lr if self.n_steps < half else self.tc.lr_final
 
     def step(self) -> dict:
-        if self._sharded_step is not None:
+        if self._sharded_step is not None or self._sharded_sr_step is not None:
             return self._step_sharded()
         t0 = time.time()
         batch = self.get_samples()

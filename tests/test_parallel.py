@@ -78,17 +78,27 @@ def test_sharded_metrics_match_single_chip_statistics():
     assert abs(e_mesh - e_exact) < 0.05, (e_mesh, e_exact)
 
 
-def test_sr_with_multiple_devices_fails_loudly():
-    """-sr -devices 8 must not silently train plain Adam (round-1 defect)."""
+@pytest.mark.slow
+def test_sharded_sr_trains_h2_to_chemical_accuracy():
+    """-sr -devices 8 runs a true psum'd SR step (round-1 defect: it
+    silently trained plain Adam)."""
     mol = nq.load_molecule("H2")
     h = nq.Hilbert.for_molecule(mol)
     terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
     cfg = NAQSConfig(
         n_qubits=mol.n_qubits, sectors=h.sectors,
-        amp_hidden=(8,), phase_hidden=(8,), masking="partial",
+        amp_hidden=(16,), phase_hidden=(16,), masking="full",
     )
-    with pytest.raises(ValueError, match="use_sr"):
-        VMCTrainer(cfg, terms, h, TrainConfig(use_sr=True), n_devices=2)
+    tc = TrainConfig(use_sr=True, use_lr_schedule=False, lr=1e-1,
+                     sr_damping=1e-2, sr_cg_iters=30, n_samples=1e5,
+                     n_unq_samples_min=4, n_unq_samples_max=16, seed=4)
+    tr = VMCTrainer(cfg, terms, h, tc, n_devices=8)
+    assert tr._sharded_sr_step is not None
+    tr.pre_flatten(30)
+    for _ in range(200):
+        out = tr.step()
+    e = tr.exact_energy()
+    assert e - mol.fci_energy < 1.6e-3, (e, mol.fci_energy)
 
 
 @pytest.mark.slow
