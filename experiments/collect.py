@@ -31,7 +31,8 @@ def to_markdown(rows) -> str:
     sep = "|" + "---|" * 8
     out = [hdr, sep]
     for r in rows:
-        e = r.get("e_exact_final", r.get("e_loc_smoothed_min"))
+        e = r.get("e_exact_final", r.get("e_loc_trailing_mean",
+                                         r.get("e_loc_smoothed_min")))
         fci = r.get("fci_energy")
         delta = (e - fci) * 1e3 if (e is not None and fci is not None) else None
         out.append(

@@ -58,10 +58,14 @@ def build_jobs():
     zoo = [
         ("CH2", 3000, SAMP), ("H2S", 3000, SAMP), ("F2", 3000, SAMP),
         ("HCl", 3000, SAMP), ("PH3", 4000, SAMP), ("LiF", 5000, SAMP),
-        ("C2", 6000, SAMP), ("LiCl", 5000, SAMP_BIG), ("Li2O", 6000, SAMP_BIG),
+        ("LiCl", 5000, SAMP_BIG), ("Li2O", 6000, SAMP_BIG),
     ]
     for mol, n, samp in zoo:
         jobs.append(("zoo", _job(f"zoo_{mol}", mol, n, samp=samp)))
+    # C2 sto-3g is strongly multireference (FCI-CCSD gap 16 mHa): give it
+    # the solve_H warm-start protocol too
+    jobs.append(("zoo", _job("zoo_C2", "C2", 6000,
+                             extra=["-ws_solve_h", "3000"])))
 
     # --- phase "bases": H2 larger bases + H2O 6-31G full budget + H4O2
     jobs.append(("bases", _job("h2_631g", "H2_6-31G", 1500)))
@@ -73,10 +77,15 @@ def build_jobs():
     )))
     jobs.append(("bases", _job("h4o2", "H4O2", 8000, samp=SAMP_BIG)))
 
-    # --- phase "n2curve": the 11-point dissociation surface
+    # --- phase "n2curve": the 11-point dissociation surface. Stretched
+    # geometries sit in a near-degenerate manifold where plain VMC traps on
+    # excited eigenstates (round-1 finding); those points run the two-phase
+    # solve_H warm-start protocol.
     for r in ["0.75", "0.9", "1.05", "1.2", "1.35", "1.5",
               "1.65", "1.8", "1.95", "2.1", "2.25"]:
-        jobs.append(("n2curve", _job(f"n2_{r}", f"N2_{r}", 4000)))
+        extra = ["-ws_solve_h", "2500"] if float(r) >= 1.5 else []
+        n = 5000 if float(r) >= 1.5 else 4000
+        jobs.append(("n2curve", _job(f"n2_{r}", f"N2_{r}", n, extra=extra)))
 
     # --- phase "carleo": Choo et al. comparison geometries
     for mol, n in [("carleo/H2", 800), ("carleo/LiH", 2500),
@@ -95,6 +104,25 @@ def build_jobs():
             jobs.append(
                 ("seeds", _job(f"seeds_{mol}_{seed}", mol, n, seed=seed))
             )
+
+    # --- phase "ablations": masking/symmetry variants on H2O (reference
+    # batch_train_no_mask.sh / _full_mask.sh / _no_amp_sym.sh)
+    for tag, extra in [("no_mask", ["-no_mask_psi"]),
+                       ("full_mask", ["-full_mask_psi"]),
+                       ("no_amp_sym", ["-no_amp_sym"]),
+                       ("full_mask_no_amp_sym", ["-full_mask_psi", "-no_amp_sym"])]:
+        jobs.append(("ablations", _job(f"abl_H2O_{tag}", "H2O", 4000, extra=extra)))
+
+    # --- phase "optimizers": Adam vs SR vs KFAC on LiH (tuned per method;
+    # the optimizer-parity ablation promised alongside the KFAC port)
+    jobs.append(("optimizers", _job("opt_LiH_adam", "LiH", 2000)))
+    jobs.append(("optimizers", _job(
+        "opt_LiH_sr", "LiH", 2000,
+        extra=["-sr", "-sr_damping", "1e-2", "-lr", "5e-2"],
+    )))
+    jobs.append(("optimizers", _job(
+        "opt_LiH_kfac", "LiH", 2000, extra=["-kfac", "-lr", "5e-2"],
+    )))
 
     return jobs
 

@@ -74,6 +74,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="K-FAC natural-gradient updates (reference "
                         "KFACOptimizer, src/optimizer/utils.py:19-268)")
     p.add_argument("-kfac_damping", type=float, default=1e-2)
+    p.add_argument("-ws_solve_h", type=int, default=0,
+                   help="after this many steps, re-target the model at the "
+                        "ground state of H restricted to the most-sampled "
+                        "subspace (trap escape for near-degenerate strong-"
+                        "correlation regimes), then continue training")
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")
     p.add_argument("-sample_dP", type=float, default=-1,
@@ -275,6 +280,20 @@ def run(args=None) -> dict:
         elif args.sample_dP > 0:
             trainer.run_density(n_remaining, output_freq=args.output_freq,
                                 d_p=args.sample_dP)
+        elif args.ws_solve_h > 0 and trainer.n_steps < args.ws_solve_h:
+            # two-phase protocol for near-degenerate (strong-correlation)
+            # regimes: VMC can converge onto an excited eigenstate of the
+            # low manifold (zero gradient, vanishing variance); re-target at
+            # the sampled-subspace ground state, then polish
+            trainer.run(args.ws_solve_h - trainer.n_steps,
+                        output_freq=args.output_freq,
+                        log_exact_energy=log_exact, save_freq=save_freq)
+            e_sub, n_sub = trainer.warm_start_from_solve_h()
+            print(f"solve_H warm start: subspace E0={e_sub:.6f} Ha over "
+                  f"{n_sub} most-sampled states", flush=True)
+            trainer.run(max(args.n_train - trainer.n_steps, 0),
+                        output_freq=args.output_freq,
+                        log_exact_energy=log_exact, save_freq=save_freq)
         else:
             trainer.run(n_remaining, output_freq=args.output_freq,
                         log_exact_energy=log_exact, save_freq=save_freq)

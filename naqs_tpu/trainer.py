@@ -644,17 +644,27 @@ class VMCTrainer:
         """
         from scipy.sparse.linalg import eigsh
 
-        self.key, k = jax.random.split(self.key)
-        batch = sample(
-            self.cfg, self.params, k,
-            jnp.float64(n_samps or self.n_samples), self.capacity,
-        )
-        nu = int(batch.n_unique)
-        states = np.asarray(batch.states)[:nu]
-        counts = np.asarray(batch.counts)[:nu]
-        if nu > k_max:
-            top = np.argsort(counts)[-k_max:]
-            states = np.sort(states[top])
+        if self.sampled_counter:
+            keys = np.fromiter(self.sampled_counter.keys(), dtype=np.uint64,
+                               count=len(self.sampled_counter))
+            vals = np.fromiter(self.sampled_counter.values(), dtype=np.float64,
+                               count=len(self.sampled_counter))
+            if len(keys) > k_max:
+                top = np.argpartition(vals, -k_max)[-k_max:]
+                keys = keys[top]
+            states = np.sort(keys)
+        else:
+            self.key, k = jax.random.split(self.key)
+            batch = sample(
+                self.cfg, self.params, k,
+                jnp.float64(n_samps or self.n_samples), self.capacity,
+            )
+            nu = int(batch.n_unique)
+            states = np.asarray(batch.states)[:nu]
+            counts = np.asarray(batch.counts)[:nu]
+            if nu > k_max:
+                top = np.argsort(counts)[-k_max:]
+                states = np.sort(states[top])
         H = assemble_sparse_hamiltonian_np(self.terms, states)
         if H.shape[0] < 3:
             w, v = np.linalg.eigh(H.toarray())
