@@ -40,14 +40,21 @@ def main():
     la = jnp.asarray(log_amp_np, dtype=jnp.float32)
     ph = jnp.asarray(phase_np, dtype=jnp.float32)
 
+    # NOTE on timing: on the tunneled TPU, block_until_ready() returns
+    # immediately (verified: a 2.7-TFLOP program "completes" in 37 us);
+    # only a host readback truly drains the in-order execution queue. Every
+    # timing below therefore ends with a data readback, amortized over the
+    # iteration count.
+    def timed(fn, n_iter=30):
+        np.asarray(fn()[0])  # warm-up + drain
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fn()
+        np.asarray(out[0][:1])  # drain: device executes in order
+        return (time.perf_counter() - t0) / n_iter
+
     f = jax.jit(lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(M)))
-    f(states, la, ph)[0].block_until_ready()  # compile
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        e_re, e_im = f(states, la, ph)
-    e_re.block_until_ready()
-    dt_dev = (time.perf_counter() - t0) / n_iter
+    dt_dev = timed(lambda: f(states, la, ph))
     rate_dev = M / dt_dev
 
     # production-window point (reference unique-sample clamp [5e4, 1e5],
@@ -66,12 +73,7 @@ def main():
         lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(m_fill))
     )
     s2, a2, p2 = jnp.asarray(states2_np), jnp.asarray(la2), jnp.asarray(ph2)
-    f2(s2, a2, p2)[0].block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        e2_re, _ = f2(s2, a2, p2)
-    e2_re.block_until_ready()
-    rate_dev2 = M2 / ((time.perf_counter() - t0) / n_iter)
+    rate_dev2 = M2 / timed(lambda: f2(s2, a2, p2), n_iter=10)
 
     # reference-equivalent CPU baseline (numpy, full vectorization)
     m_cpu = 1024
@@ -82,6 +84,7 @@ def main():
     rate_cpu = m_cpu / dt_cpu
 
     # correctness cross-check on the overlapping prefix
+    e_re, e_im = f(states, la, ph)
     psi_full = np.exp(log_amp_np + 1j * phase_np)
     e_np_full = local_energy_np(terms, states_np, psi_full)
     err = float(np.max(np.abs(np.asarray(e_re) - e_np_full.real)))
