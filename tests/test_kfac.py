@@ -89,5 +89,5 @@ def test_kfac_recovers_most_correlation_on_lih():
 
 def test_kfac_multi_device_fails_loudly():
     mol, h, terms, cfg = _setup("H2")
-    with pytest.raises(ValueError, match="use_sr/use_kfac"):
+    with pytest.raises(ValueError, match="use_kfac"):
         VMCTrainer(cfg, terms, h, TrainConfig(use_kfac=True), n_devices=2)
