@@ -155,3 +155,27 @@ def test_n_exc_max_filters_basis():
     assert spec.size == h_exc.sector_size
     idx = np_rank_index(spec, h_exc.basis)
     assert len(np.unique(idx)) == h_exc.size and idx.max() < spec.size
+
+
+def test_rank_supports_li2o_scale_space():
+    """Li2O (30 qubits, (7,7) sector, 41.4M states) is the largest shipped
+    rank-addressable space; verify injectivity on a sample without
+    materializing the basis."""
+    h = Hilbert(n_qubits=30, sectors=((7, 7),))
+    spec = RankSpec.for_hilbert(h)
+    assert spec is not None and spec.size == 6435 ** 2
+    rng = np.random.default_rng(1)
+    # random valid states: choose 7 alpha and 7 beta positions
+    n = 20000
+    states = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        a = rng.choice(15, size=7, replace=False)
+        b = rng.choice(15, size=7, replace=False)
+        states[i] = (np.sum(1 << (2 * a.astype(np.uint64)))
+                     + np.sum(1 << (2 * b.astype(np.uint64) + 1)))
+    states = np.unique(states)
+    idx_np = np_rank_index(spec, states)
+    assert idx_np.max() < spec.size and idx_np.min() >= 0
+    assert len(np.unique(idx_np)) == len(states)  # injective
+    idx_dev = np.asarray(rank_index(spec, jnp.asarray(states)))
+    np.testing.assert_array_equal(idx_dev, idx_np)
