@@ -171,8 +171,15 @@ def vmc_update(
         return loss, (e_mean, e_var)
 
     (loss, (e_mean, e_var)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    # a capacity-overflowed batch is truncated (biased): withhold the update
+    # so the host controller can resample without an intermediate sync
+    keep = lambda new, old: jax.tree_util.tree_map(
+        lambda n, o: jnp.where(batch.overflow, o, n), new, old
+    )
+    params = keep(new_params, params)
+    opt_state = keep(new_opt_state, opt_state)
     metrics = {
         "e_loc": e_mean,
         "e_loc_var": e_var,
@@ -341,6 +348,65 @@ class VMCTrainer:
             f"{self.capacity} too small for this wavefunction's support?"
         )
 
+    def _step_fused(self, max_retries: int = 12) -> dict:
+        """Single-sync Adam step: sample and update are dispatched back-to-
+        back and ONE host readback returns all controller/metric scalars.
+        vmc_update withholds the update on capacity overflow, so the
+        controller can back off and resample without an intermediate sync;
+        unique-count window adjustments apply to the NEXT step (one-step lag
+        vs the reference's get_samples, which is cost control, not bias).
+
+        Over the tunneled TPU each sync costs ~10-30 ms of latency; this
+        path halves the per-step sync count of the classic
+        get_samples -> update sequence."""
+        t0 = time.time()
+        for _ in range(max_retries):
+            self.key, k = jax.random.split(self.key)
+            batch = sample(
+                self.cfg, self.params, k, jnp.float64(self.n_samples),
+                self.capacity,
+            )
+            params, opt_state, metrics = vmc_update(
+                self.cfg, self.optimizer, self.params, self.opt_state,
+                self.dt, batch, self.tc.reweight_by_psi,
+            )
+            e_loc, e_var, n_unq, ovf = jax.device_get(
+                (metrics["e_loc"], metrics["e_loc_var"], batch.n_unique,
+                 batch.overflow)
+            )
+            if not bool(ovf):
+                self.params, self.opt_state = params, opt_state
+                break
+            self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
+        else:
+            raise RuntimeError(
+                "sample-count controller did not converge: capacity "
+                f"{self.capacity} too small for this wavefunction's support?"
+            )
+        n_unq = int(n_unq)
+        at_max = self.n_samples >= self.tc.n_samples_max
+        at_min = self.n_samples <= self.tc.n_unq_samples_min
+        if n_unq < self.tc.n_unq_samples_min and not at_max:
+            self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
+        elif n_unq > self.tc.n_unq_samples_max and not at_min:
+            self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
+        self._record_samples(batch, n_unq)
+        self.n_steps += 1
+        dt_step = time.time() - t0
+        self.run_time += dt_step
+        out = {
+            "e_loc": float(e_loc),
+            "e_loc_var": float(e_var),
+            "n_unique": n_unq,
+            "n_samples": self.n_samples,
+            "time": dt_step,
+        }
+        self.log["E_LOC"].append((self.n_steps, out["e_loc"]))
+        self.log["E_LOC_VAR"].append((self.n_steps, out["e_loc_var"]))
+        self.log["N_UNIQUE_SAMP"].append((self.n_steps, out["n_unique"]))
+        self.log["TIME"].append((self.n_steps, self.run_time))
+        return out
+
     def _step_sharded(self, max_retries: int = 12) -> dict:
         """Multi-chip step: per-shard sampling + psum'd update, with the
         sample-count controller applied from the returned metrics.
@@ -401,6 +467,8 @@ class VMCTrainer:
     def step(self) -> dict:
         if self._sharded_step is not None or self._sharded_sr_step is not None:
             return self._step_sharded()
+        if not (self.tc.use_sr or self.tc.use_kfac):
+            return self._step_fused()
         t0 = time.time()
         batch = self.get_samples()
         self._record_samples(batch)
