@@ -98,13 +98,6 @@ def build_jobs():
         extra=["-full_mask_psi"],
     )))
 
-    # --- phase "seeds": 5-seed production batches (reference batch_train.sh)
-    for mol, n in [("LiH", 2500), ("H2O", 4000), ("N2", 6000)]:
-        for seed in [111, 222, 333, 444, 555]:
-            jobs.append(
-                ("seeds", _job(f"seeds_{mol}_{seed}", mol, n, seed=seed))
-            )
-
     # --- phase "ablations": masking/symmetry variants on H2O (reference
     # batch_train_no_mask.sh / _full_mask.sh / _no_amp_sym.sh)
     for tag, extra in [("no_mask", ["-no_mask_psi"]),
@@ -123,6 +116,13 @@ def build_jobs():
     jobs.append(("optimizers", _job(
         "opt_LiH_kfac", "LiH", 2000, extra=["-kfac", "-lr", "5e-2"],
     )))
+
+    # --- phase "seeds": 5-seed production batches (reference batch_train.sh)
+    for mol, n in [("LiH", 2500), ("H2O", 4000), ("N2", 6000)]:
+        for seed in [111, 222, 333, 444, 555]:
+            jobs.append(
+                ("seeds", _job(f"seeds_{mol}_{seed}", mol, n, seed=seed))
+            )
 
     return jobs
 
