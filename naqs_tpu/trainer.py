@@ -312,8 +312,8 @@ class VMCTrainer:
         # device->host transfer of the FIXED-shape buffers, slice on host: a
         # device-side [:nu] slice has a new shape every step, and on the
         # tunneled TPU every distinct dispatched op costs a remote compile
-        states, counts = jax.device_get((batch.states, batch.counts))
-        states, counts = states[:nu], counts[:nu]
+        states = np.asarray(batch.states)[:nu]
+        counts = np.asarray(batch.counts)[:nu]
         get = self.sampled_counter.get
         for s, c in zip(states.tolist(), counts.tolist()):
             self.sampled_counter[s] = get(s, 0.0) + c
