@@ -131,12 +131,14 @@ def job_done(out_dir: str) -> bool:
     return os.path.exists(os.path.join(out_dir, "summary.json"))
 
 
-def run_job(job, stall_secs: float, max_attempts: int = 10) -> bool:
+def run_job(job, stall_secs: float, max_attempts: int = 10,
+            compile_grace: float = 1500.0) -> bool:
     out_dir = os.path.join(OUT_ROOT, job["name"])
     os.makedirs(out_dir, exist_ok=True)
     log_path = os.path.join(out_dir, "fleet_log.txt")
     cmd = [sys.executable, "-m", "naqs_tpu.cli", *job["args"],
            "-o", out_dir, "-c"]
+    zero_progress_attempts = 0
     for attempt in range(max_attempts):
         if job_done(out_dir):
             return True
@@ -145,26 +147,44 @@ def run_job(job, stall_secs: float, max_attempts: int = 10) -> bool:
         with open(log_path, "a") as log:
             log.write(f"\n==== attempt {attempt + 1} @ {time.ctime()} ====\n")
             log.flush()
+            attempt_start_size = os.path.getsize(log_path)
+            made_progress = False
             proc = subprocess.Popen(
                 cmd, stdout=log, stderr=subprocess.STDOUT, cwd=ROOT,
                 start_new_session=True,
             )
-            last_size, last_change = 0, time.time()
+            last_size, last_change = attempt_start_size, time.time()
             while proc.poll() is None:
                 time.sleep(10)
                 size = os.path.getsize(log_path)
                 if size != last_size:
+                    if not made_progress:
+                        with open(log_path) as lr:
+                            lr.seek(attempt_start_size)
+                            made_progress = "\nstep " in lr.read()
                     last_size, last_change = size, time.time()
-                elif time.time() - last_change > stall_secs:
+                    continue
+                # big compiles are silent for many minutes before the first
+                # training output: give them a long grace, then tighten
+                window = stall_secs if made_progress else compile_grace
+                if time.time() - last_change > window:
                     print(f"[fleet] {job['name']}: stalled "
-                          f"({stall_secs:.0f}s silent), killing pid "
-                          f"{proc.pid}", flush=True)
+                          f"({window:.0f}s silent, progress="
+                          f"{made_progress}), killing pid {proc.pid}",
+                          flush=True)
                     os.killpg(proc.pid, signal.SIGKILL)
                     break
             proc.wait()
         if job_done(out_dir):
             print(f"[fleet] {job['name']}: DONE", flush=True)
             return True
+        if not made_progress:
+            zero_progress_attempts += 1
+            if zero_progress_attempts >= 2:
+                print(f"[fleet] {job['name']}: no training progress in "
+                      f"{zero_progress_attempts} attempts, skipping",
+                      flush=True)
+                return False
     print(f"[fleet] {job['name']}: FAILED after {max_attempts} attempts",
           flush=True)
     return False
