@@ -1,0 +1,208 @@
+"""Regenerate RESULTS.md from fleet summaries + round-1 verified results.
+
+Usage: python -m experiments.make_results [--fleet data/fleet] [--out RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+CHEM_ACC = 1.6e-3
+
+# round-1 hardware-verified convergence runs (seed 11, production config);
+# kept static — the runs predate the fleet layout
+ROUND1 = [
+    ("H2 sto-3g", 11, -0.998149, -0.998149, "exact"),
+    ("LiH sto-3g", 11, -7.784459, -7.784460, "exact"),
+    ("BeH2 sto-3g", 11, -14.472917, -14.472947, "exact"),
+    ("H2O sto-3g", 11, -75.015521, -75.015530, "exact"),
+    ("NH3 sto-3g", 11, -55.520699, -55.521150, "exact"),
+    ("CH4 sto-3g", 11, -39.805077, -39.806259, "exact"),
+    ("N2 sto-3g", 11, -107.658635, -107.660206, "exact"),
+    ("O2 sto-3g (triplet)", 11, -147.749562, -147.750235, "exact"),
+]
+
+
+def load(fleet_dir):
+    out = {}
+    for path in sorted(glob.glob(os.path.join(fleet_dir, "*", "summary.json"))):
+        name = os.path.basename(os.path.dirname(path))
+        with open(path) as f:
+            out[name] = json.load(f)
+    return out
+
+
+def best_e(s):
+    return s.get("e_exact_final") or s.get("e_loc_trailing_mean") \
+        or s.get("e_loc_smoothed_min")
+
+
+def row(label, s, note=""):
+    e = best_e(s)
+    fci = s.get("fci_energy")
+    est = {"exact_psi_H_psi": "exact", "e_loc_trailing_mean": "E_loc"}.get(
+        s.get("vmc_estimator"), "E_loc")
+    d = (e - fci) * 1e3 if (e is not None and fci is not None) else None
+    efci = s.get("e_vmc_fci_subspace")
+    dfci = (efci - fci) * 1e3 if (efci is not None and fci is not None) else None
+    acc = "yes" if (d is not None and d < 1.6) else (
+        "yes (VMC+FCI)" if (dfci is not None and dfci < 1.6) else "no")
+    return (f"| {label} | {s.get('seed','?')} | {e:.6f} ({est}) "
+            f"| {fci:.6f} | {d:+.3f} | "
+            f"{'-' if dfci is None else f'{dfci:+.3f}'} | {acc} {note}|")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--fleet", default="data/fleet")
+    p.add_argument("--out", default="RESULTS.md")
+    args = p.parse_args(argv)
+    S = load(args.fleet)
+
+    L = []
+    A = L.append
+    A("# Verified results (single TPU v5e chip via tunnel)")
+    A("")
+    A("Chemical accuracy: E - E_FCI < 1.6 mHa (reference criterion).")
+    A("'exact' = deterministic <psi|H|psi> over the full restricted basis;")
+    A("'E_loc' = trailing-mean sampled energy (spaces too large for exact")
+    A("evaluation). 'VMC+FCI' = solve_H over the top-10k most-sampled states.")
+    A("All runs: production config (n_hid 64, global phase net 2x512, partial")
+    A("masking unless noted), Adam 1e-3 -> 5e-4. Regenerate with")
+    A("`python -m experiments.make_results` after `python -m experiments.fleet`.")
+    A("")
+    A("## Closed- and open-shell molecule zoo (sto-3g)")
+    A("")
+    A("| System | seed | E (Ha) | FCI (Ha) | E-FCI (mHa) | VMC+FCI-FCI (mHa) | chem acc |")
+    A("|---|---|---|---|---|---|---|")
+    for label, seed, e, fci, est in ROUND1:
+        d = (e - fci) * 1e3
+        A(f"| {label} | {seed} | {e:.6f} ({est}) | {fci:.6f} | {d:+.3f} | - "
+          f"| {'yes' if d < 1.6 else 'no'} |")
+    zoo_labels = {
+        "zoo_CH2": "CH2 sto-3g (triplet)", "zoo_H2S": "H2S sto-3g",
+        "zoo_F2": "F2 sto-3g", "zoo_HCl": "HCl sto-3g",
+        "zoo_PH3": "PH3 sto-3g", "zoo_LiF": "LiF sto-3g",
+        "zoo_C2": "C2 sto-3g", "zoo_LiCl": "LiCl sto-3g (28q, 1.0M states)",
+        "zoo_Li2O": "Li2O sto-3g (30q, 41.4M states)",
+    }
+    for k, lab in zoo_labels.items():
+        if k in S:
+            A(row(lab, S[k]))
+    A("")
+
+    A("## Larger basis sets")
+    A("")
+    A("| System | seed | E (Ha) | FCI (Ha) | E-FCI (mHa) | VMC+FCI-FCI (mHa) | chem acc |")
+    A("|---|---|---|---|---|---|---|")
+    for k, lab in [("h2_631g", "H2 6-31G"), ("h2_ccpvdz", "H2 cc-pVDZ"),
+                   ("h2_ccpvtz", "H2 cc-pVTZ (56 qubits)"),
+                   ("h2o_631g", "H2O 6-31G (26q, full-mask, 10k steps)"),
+                   ("h4o2", "H4O2 water dimer (28q)")]:
+        if k in S:
+            A(row(lab, S[k]))
+    A("")
+
+    n2 = sorted((k for k in S if k.startswith("n2_")),
+                key=lambda k: float(k[3:]))
+    if n2:
+        A("## N2 dissociation curve (sto-3g)")
+        A("")
+        A("Stretched geometries (r >= 1.5 A) use the two-phase solve_H")
+        A("warm-start protocol (trap escape in the near-degenerate manifold).")
+        A("Note: at stretched geometries CCSD is non-variational (up to 179")
+        A("mHa BELOW FCI) — VMC stays variational.")
+        A("")
+        A("| r (A) | E (Ha) | FCI (Ha) | E-FCI (mHa) | CCSD-FCI (mHa) | chem acc |")
+        A("|---|---|---|---|---|---|")
+        for k in n2:
+            s = S[k]
+            e, fci = best_e(s), s["fci_energy"]
+            d = (e - fci) * 1e3
+            dc = (s["ccsd_energy"] - fci) * 1e3
+            efci = s.get("e_vmc_fci_subspace")
+            dfci = (efci - fci) * 1e3 if efci else None
+            acc = "yes" if d < 1.6 else ("yes (VMC+FCI)" if dfci is not None and dfci < 1.6 else "no")
+            A(f"| {k[3:]} | {e:.6f} | {fci:.6f} | {d:+.3f} | {dc:+.3f} | {acc} |")
+        A("")
+
+    car = [k for k in S if k.startswith("carleo_")]
+    if car:
+        A("## Carleo-comparison geometries (Choo et al. 2020)")
+        A("")
+        A("| System | seed | E (Ha) | FCI (Ha) | E-FCI (mHa) | VMC+FCI-FCI (mHa) | chem acc |")
+        A("|---|---|---|---|---|---|---|")
+        for k in sorted(car):
+            A(row(k.replace("carleo_", "carleo/"), S[k]))
+        A("")
+
+    seeds = [k for k in S if k.startswith("seeds_")]
+    if seeds:
+        A("## Multi-seed reproducibility (reference 5-seed protocol)")
+        A("")
+        A("| System | seed | E (Ha) | FCI (Ha) | E-FCI (mHa) | VMC+FCI-FCI (mHa) | chem acc |")
+        A("|---|---|---|---|---|---|---|")
+        for k in sorted(seeds):
+            mol, seed = k.split("_")[1], k.split("_")[2]
+            A(row(f"{mol} sto-3g", S[k]))
+        A("")
+
+    abl = [k for k in S if k.startswith("abl_")]
+    if abl:
+        A("## Masking / symmetry ablations (H2O sto-3g, reference suite)")
+        A("")
+        A("| Variant | E (Ha) | FCI (Ha) | E-FCI (mHa) | chem acc |")
+        A("|---|---|---|---|---|")
+        for k in sorted(abl):
+            s = S[k]
+            e, fci = best_e(s), s["fci_energy"]
+            d = (e - fci) * 1e3
+            A(f"| {k.replace('abl_H2O_','')} | {e:.6f} | {fci:.6f} "
+              f"| {d:+.3f} | {'yes' if d < 1.6 else 'no'} |")
+        A("")
+
+    opt = [k for k in S if k.startswith("opt_")]
+    if opt:
+        A("## Optimizer ablation (LiH sto-3g, 2000 steps each)")
+        A("")
+        A("| Optimizer | E (Ha) | FCI (Ha) | E-FCI (mHa) |")
+        A("|---|---|---|---|")
+        for k in sorted(opt):
+            s = S[k]
+            e, fci = best_e(s), s["fci_energy"]
+            A(f"| {k.replace('opt_LiH_','')} | {e:.6f} | {fci:.6f} "
+              f"| {(e-fci)*1e3:+.3f} |")
+        A("")
+
+    A("## Engine throughput (N2 sto-3g, readback-verified timing)")
+    A("")
+    A("| Path | states/s |")
+    A("|---|---|")
+    A("| TPU v5e rank engine, M=8192 sampled states | ~500-700k |")
+    A("| TPU v5e rank engine, M=65536 (production window) | ~890k |")
+    A("| C++/OpenMP host kernel (csrc/), 1 CPU core | ~63k |")
+    A("| numpy host oracle (bench baseline), 1 CPU core | ~18k |")
+    A("")
+    A("`bench.py` prints the headline number with `vs_baseline` measured")
+    A("against the numpy host path on the current machine (27-38x observed).")
+    A("")
+    A("## Strong correlation: stretched N2 (round-1 analysis)")
+    A("")
+    A("At r=2.25 A the m_s=0 sector's low spectrum is near-degenerate")
+    A("([-107.44361, -107.44022, -107.43283 (= stored singlet FCI), ...])")
+    A("and plain VMC converges onto an exact excited eigenstate (vanishing")
+    A("variance, zero gradient). The solve_H warm start escapes the trap:")
+    A("round-1 verified E = -107.443448 Ha, 0.17 mHa from the exact sector")
+    A("ground state and 10.6 mHa BELOW the stored singlet FCI. The same")
+    A("protocol now runs automatically for r >= 1.5 via -ws_solve_h.")
+    out = "\n".join(L) + "\n"
+    with open(args.out, "w") as f:
+        f.write(out)
+    print(f"wrote {args.out} ({len(S)} fleet summaries)")
+
+
+if __name__ == "__main__":
+    main()
