@@ -42,10 +42,11 @@ SAMP_BIG = ["-n_samps", "1e7", "-n_unq_samps_min", "1024",
             "-n_unq_samps_max", "16384"]
 
 
-def _job(name, molecule, n_train, seed=11, samp=None, extra=()):
+def _job(name, molecule, n_train, seed=11, samp=None, extra=(), env=None):
     return {
         "name": name,
         "molecule": molecule,
+        "env": env or {},
         "args": ["-m", molecule, "-n_train", str(n_train), "-s", str(seed)]
         + PROD + (samp or SAMP) + list(extra),
     }
@@ -58,10 +59,14 @@ def build_jobs():
     zoo = [
         ("CH2", 3000, SAMP), ("H2S", 3000, SAMP), ("F2", 3000, SAMP),
         ("HCl", 3000, SAMP), ("PH3", 4000, SAMP), ("LiF", 5000, SAMP),
-        ("LiCl", 5000, SAMP_BIG), ("Li2O", 6000, SAMP_BIG),
+        ("LiCl", 5000, SAMP_BIG),
     ]
     for mol, n, samp in zoo:
         jobs.append(("zoo", _job(f"zoo_{mol}", mol, n, samp=samp)))
+    # Li2O's 41.4M-state rank program hangs the axon compiler; run it on
+    # the sort-based fallback engine (NAQS_TPU_RANK_MAX below its size)
+    jobs.append(("zoo", _job("zoo_Li2O", "Li2O", 6000, samp=SAMP_BIG,
+                             env={"NAQS_TPU_RANK_MAX": str(1 << 24)})))
     # C2 sto-3g is strongly multireference (FCI-CCSD gap 16 mHa): give it
     # the solve_H warm-start protocol too
     jobs.append(("zoo", _job("zoo_C2", "C2", 6000,
@@ -149,9 +154,10 @@ def run_job(job, stall_secs: float, max_attempts: int = 10,
             log.flush()
             attempt_start_size = os.path.getsize(log_path)
             made_progress = False
+            child_env = {**os.environ, **job.get("env", {})}
             proc = subprocess.Popen(
                 cmd, stdout=log, stderr=subprocess.STDOUT, cwd=ROOT,
-                start_new_session=True,
+                start_new_session=True, env=child_env,
             )
             last_size, last_change = attempt_start_size, time.time()
             while proc.poll() is None:

@@ -34,8 +34,12 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-# dense (|basis|+1, 2) f32 value table cap: 2 * 4 B * 2^26 = 537 MB HBM
-RANK_SIZE_MAX = 1 << 26
+# dense (|basis|+1, 2) f32 value table cap: 2 * 4 B * 2^26 = 537 MB HBM.
+# Override with NAQS_TPU_RANK_MAX (e.g. to force the sort-based fallback
+# engine on spaces whose giant fused programs upset a given compiler).
+import os as _os
+
+RANK_SIZE_MAX = int(_os.environ.get("NAQS_TPU_RANK_MAX", 1 << 26))
 
 _MISS = -1.0e30         # log-amp stored in empty / sentinel slots
 _MISS_THRESHOLD = -1.0e29
