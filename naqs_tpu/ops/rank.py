@@ -184,9 +184,13 @@ def build_value_table(
     idx = rank_index(spec, states)
     live = jnp.arange(n) < n_valid
     idx = jnp.where(live, idx, np.int32(spec.size))
-    table = jnp.full((spec.size + 1, 2), jnp.float32(0.0)).at[:, 0].set(
-        jnp.float32(miss_log_amp)
-    )
+    # the init MUST depend on a traced value: an all-constant
+    # full().at[].set() folds into a |basis|-sized HLO literal at compile
+    # time (verified: f32[41409226] constant folding), which a remote
+    # compile service then materializes/ships — build it at runtime instead
+    tz = (log_amp.ravel()[:1].astype(jnp.float32) * 0.0)[0]
+    table = jnp.zeros((spec.size + 1, 2), jnp.float32) + tz
+    table = table.at[:, 0].add(jnp.float32(miss_log_amp))
     vals = jnp.stack(
         [log_amp.astype(jnp.float32), phase.astype(jnp.float32)], axis=1
     )
