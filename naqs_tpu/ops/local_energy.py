@@ -88,8 +88,25 @@ class DeviceTerms:
         terms: PauliTerms,
         dense_a: bool | None = None,
         hilbert=None,
+        pad_to: int = 256,
     ) -> "DeviceTerms":
-        kyz, kxy = len(terms.yz_unique), len(terms.xy_unique)
+        """Upload compiled terms, zero-padding every term axis to a multiple
+        of `pad_to`.
+
+        Padding buckets the compiled-program shapes so related Hamiltonians
+        (e.g. the 11 N2-curve geometries) share one executable via the
+        persistent compilation cache — a ~4-minute remote compile per
+        geometry otherwise. Pad entries are exact no-ops: xy=0 couples the
+        diagonal with coefficient 0, yz=0 has parity +1 and coefficient 0.
+        """
+        def pad(arr, n, fill=0):
+            out = np.full((n,), fill, dtype=arr.dtype)
+            out[: len(arr)] = arr
+            return out
+
+        up = lambda n: max(pad_to, -(-n // pad_to) * pad_to)
+        kyz, kxy = up(len(terms.yz_unique)), up(len(terms.xy_unique))
+        k, kd = up(len(terms.coeff)), up(len(terms.diag_yz))
         if dense_a is None:
             dense_a = kyz * kxy <= _DENSE_A_MAX
         a_mat = None
@@ -99,13 +116,13 @@ class DeviceTerms:
             a_mat = jnp.asarray(a)
         rank_spec = RankSpec.for_hilbert(hilbert) if hilbert is not None else None
         return DeviceTerms(
-            diag_yz=jnp.asarray(terms.diag_yz, dtype=jnp.uint64),
-            diag_coeff=jnp.asarray(terms.diag_coeff, dtype=jnp.float64),
-            xy_unique=jnp.asarray(terms.xy_unique, dtype=jnp.uint64),
-            yz_unique=jnp.asarray(terms.yz_unique, dtype=jnp.uint64),
-            gxy=jnp.asarray(terms.gxy, dtype=jnp.int32),
-            gyz=jnp.asarray(terms.gyz, dtype=jnp.int32),
-            coeff=jnp.asarray(terms.coeff, dtype=jnp.float32),
+            diag_yz=jnp.asarray(pad(terms.diag_yz, kd), dtype=jnp.uint64),
+            diag_coeff=jnp.asarray(pad(terms.diag_coeff, kd), dtype=jnp.float64),
+            xy_unique=jnp.asarray(pad(terms.xy_unique, kxy), dtype=jnp.uint64),
+            yz_unique=jnp.asarray(pad(terms.yz_unique, kyz), dtype=jnp.uint64),
+            gxy=jnp.asarray(pad(terms.gxy, k), dtype=jnp.int32),
+            gyz=jnp.asarray(pad(terms.gyz, k), dtype=jnp.int32),
+            coeff=jnp.asarray(pad(terms.coeff, k), dtype=jnp.float32),
             a_mat=a_mat,
             rank_spec=rank_spec,
         )
