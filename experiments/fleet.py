@@ -74,8 +74,8 @@ def build_jobs():
 
     # --- phase "bases": H2 larger bases + H2O 6-31G full budget + H4O2
     jobs.append(("bases", _job("h2_631g", "H2_6-31G", 1500)))
-    jobs.append(("bases", _job("h2_ccpvdz", "H2_cc-pVDZ", 2500)))
-    jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pVTZ", 3000)))
+    jobs.append(("bases", _job("h2_ccpvdz", "H2_cc-pvdz", 2500)))
+    jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pvtz", 3000)))
     jobs.append(("bases", _job(
         "h2o_631g", "H2O_6-31G", 10000, samp=SAMP_BIG,
         extra=["-full_mask_psi"],
