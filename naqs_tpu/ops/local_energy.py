@@ -9,10 +9,16 @@ membership lookup into the sorted sampled set (psi = 0 for unsampled states —
 same truncation semantics as the reference, energy.py:247-248).
 
 TPU-specific design (measured on v5e; see git history for the profile):
-  * lookups use sort-based searchsorted (`method='sort'`): one fused device
-    sort of queries+table instead of a binary search whose per-level random
-    gathers are ~3000x slower on TPU;
-  * the table is gathered ONCE as a packed int32 record [key_lo, key_hi,
+  * PRIMARY lookup path (ops/rank.py): the restricted-sector index of each
+    coupled state is computed arithmetically (combinadic colex rank, O(N)
+    VPU ops) and psi values come from ONE dense row gather — no sort, no
+    searchsorted (a searchsorted costs ~107 ms per 6.5M queries vs ~20 ms
+    for the row gather). Active whenever DeviceTerms carries a RankSpec
+    (n_qubits <= 32 and the space fits a dense value table);
+  * FALLBACK lookup (wide spaces): sort-based searchsorted
+    (`method='sort'`), one fused device sort of queries+table instead of a
+    binary search whose per-level random gathers are ~3000x slower on TPU;
+    the table is gathered ONCE as a packed int32 record [key_lo, key_hi,
     la_bits, ph_bits] — int32, not f32, because f32-bitcast keys get NaN-
     canonicalized in transit, corrupting them;
   * the per-term sign/coefficient accumulation is a single MXU matmul
