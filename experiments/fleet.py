@@ -80,7 +80,7 @@ def build_jobs():
         "h2o_631g", "H2O_6-31G", 10000, samp=SAMP_BIG,
         extra=["-full_mask_psi"],
     )))
-    jobs.append(("bases", _job("h4o2", "H4O2", 8000, samp=SAMP_BIG)))
+    jobs.append(("bases", _job("h4o2", "H4O2", 5000, samp=SAMP_BIG)))
 
     # --- phase "n2curve": the 11-point dissociation surface. Stretched
     # geometries sit in a near-degenerate manifold where plain VMC traps on
@@ -99,7 +99,7 @@ def build_jobs():
         tag = mol.split("/")[-1].lower()
         jobs.append(("carleo", _job(f"carleo_{tag}", mol, n)))
     jobs.append(("carleo", _job(
-        "carleo_h2o631g", "carleo/H2O_6-31G", 10000, samp=SAMP_BIG,
+        "carleo_h2o631g", "carleo/H2O_6-31G", 4000, samp=SAMP_BIG,
         extra=["-full_mask_psi"],
     )))
 
