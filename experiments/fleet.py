@@ -136,6 +136,11 @@ def job_done(out_dir: str) -> bool:
     return os.path.exists(os.path.join(out_dir, "summary.json"))
 
 
+def job_skipped(out_dir: str) -> bool:
+    """A SKIP marker parks a known-problematic job without faking results."""
+    return os.path.exists(os.path.join(out_dir, "SKIP"))
+
+
 def run_job(job, stall_secs: float, max_attempts: int = 10,
             compile_grace: float = 1500.0) -> bool:
     out_dir = os.path.join(OUT_ROOT, job["name"])
@@ -145,6 +150,9 @@ def run_job(job, stall_secs: float, max_attempts: int = 10,
            "-o", out_dir, "-c"]
     zero_progress_attempts = 0
     for attempt in range(max_attempts):
+        if job_skipped(out_dir):
+            print(f"[fleet] {job['name']}: SKIP marker present", flush=True)
+            return False
         if job_done(out_dir):
             return True
         print(f"[fleet] {job['name']} attempt {attempt + 1}: {' '.join(cmd)}",
