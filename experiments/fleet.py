@@ -75,7 +75,10 @@ def build_jobs():
     # --- phase "bases": H2 larger bases + H2O 6-31G full budget + H4O2
     jobs.append(("bases", _job("h2_631g", "H2_6-31G", 1500)))
     jobs.append(("bases", _job("h2_ccpvdz", "H2_cc-pvdz", 2500)))
-    jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pvtz", 3000)))
+        # 56 qubits but only 784 valid states: exact-sampling training is the
+    # right tool (the sampled path pays 28-shell ancestral scans per step)
+    jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pvtz", 1500,
+                               extra=["-exact_sampling"])))
     jobs.append(("bases", _job(
         "h2o_631g", "H2O_6-31G", 10000, samp=SAMP_BIG,
         extra=["-full_mask_psi"],
