@@ -95,17 +95,6 @@ def build_jobs():
         n = 5000 if float(r) >= 1.5 else 4000
         jobs.append(("n2curve", _job(f"n2_{r}", f"N2_{r}", n, extra=extra)))
 
-    # --- phase "carleo": Choo et al. comparison geometries
-    for mol, n in [("carleo/H2", 800), ("carleo/LiH", 2500),
-                   ("carleo/H2O", 4000), ("carleo/NH3", 4000),
-                   ("carleo/C2", 6000), ("carleo/N2", 6000)]:
-        tag = mol.split("/")[-1].lower()
-        jobs.append(("carleo", _job(f"carleo_{tag}", mol, n)))
-    jobs.append(("carleo", _job(
-        "carleo_h2o631g", "carleo/H2O_6-31G", 4000, samp=SAMP_BIG,
-        extra=["-full_mask_psi"],
-    )))
-
     # --- phase "ablations": masking/symmetry variants on H2O (reference
     # batch_train_no_mask.sh / _full_mask.sh / _no_amp_sym.sh)
     for tag, extra in [("no_mask", ["-no_mask_psi"]),
@@ -131,6 +120,17 @@ def build_jobs():
             jobs.append(
                 ("seeds", _job(f"seeds_{mol}_{seed}", mol, n, seed=seed))
             )
+
+    # --- phase "carleo": Choo et al. comparison geometries
+    for mol, n in [("carleo/H2", 800), ("carleo/LiH", 2500),
+                   ("carleo/H2O", 4000), ("carleo/NH3", 4000),
+                   ("carleo/C2", 6000), ("carleo/N2", 6000)]:
+        tag = mol.split("/")[-1].lower()
+        jobs.append(("carleo", _job(f"carleo_{tag}", mol, n)))
+    jobs.append(("carleo", _job(
+        "carleo_h2o631g", "carleo/H2O_6-31G", 4000, samp=SAMP_BIG,
+        extra=["-full_mask_psi"],
+    )))
 
     return jobs
 
