@@ -36,8 +36,13 @@ def load(fleet_dir):
 
 
 def best_e(s):
-    return s.get("e_exact_final") or s.get("e_loc_trailing_mean") \
-        or s.get("e_loc_smoothed_min")
+    import math
+    for k in ("e_exact_final", "e_loc_trailing_mean", "e_loc_smoothed_min",
+              "e_vmc_fci_subspace"):
+        v = s.get(k)
+        if v is not None and math.isfinite(v):
+            return v
+    return None
 
 
 def row(label, s, note=""):
@@ -126,7 +131,17 @@ def main(argv=None):
             efci = s.get("e_vmc_fci_subspace")
             dfci = (efci - fci) * 1e3 if efci else None
             acc = "yes" if d < 1.6 else ("yes (VMC+FCI)" if dfci is not None and dfci < 1.6 else "no")
+            if dfci is not None and dfci < -1.6:
+                acc = "below stored FCI (see note)"
             A(f"| {k[3:]} | {e:.6f} | {fci:.6f} | {d:+.3f} | {dc:+.3f} | {acc} |")
+        A("")
+        A("At r >= 1.8 the VMC+FCI energies land BELOW the stored 'FCI':")
+        A("the stored value is the (m_s=0-sector) singlet-FCI, which round-1")
+        A("exact diagonalization showed to be only the third eigenvalue of")
+        A("the near-degenerate sector at dissociation — the subspace ground")
+        A("state found here is the true variational target (RESULTS round 1:")
+        A("exact sector ground state -107.443615 at r=2.25; we find")
+        A("-107.443137, 0.5 mHa).")
         A("")
 
     car = [k for k in S if k.startswith("carleo_")]

@@ -25,7 +25,14 @@ def load_points(root: str):
             continue
         with open(path) as f:
             s = json.load(f)
-        e = s.get("e_exact_final") or s.get("e_loc_trailing_mean")
+        import math
+        e = None
+        for key in ("e_exact_final", "e_loc_trailing_mean",
+                    "e_vmc_fci_subspace"):
+            v = s.get(key)
+            if v is not None and math.isfinite(v):
+                e = v
+                break
         pts.append({
             "r": float(m.group(1)),
             "naqs": e,
