@@ -40,6 +40,12 @@ SAMP = ["-n_samps", "1e7", "-n_unq_samps_min", "256",
         "-n_unq_samps_max", "4096"]
 SAMP_BIG = ["-n_samps", "1e7", "-n_unq_samps_min", "1024",
             "-n_unq_samps_max", "16384"]
+# the reference production window (run.py:8-11): unique in [1e4, 1e5].
+# Only meaningful for systems whose support exceeds ~1e4 states — for the
+# small zoo the support saturates below the window and the capacity would
+# only pad static shapes (E_loc/sampler cost scales with capacity).
+SAMP_PROD = ["-n_samps", "1e7", "-n_unq_samps_min", "10000",
+             "-n_unq_samps_max", "100000"]
 
 
 def _job(name, molecule, n_train, seed=11, samp=None, extra=(), env=None):
@@ -54,6 +60,24 @@ def _job(name, molecule, n_train, seed=11, samp=None, extra=(), env=None):
 
 def build_jobs():
     jobs = []
+
+    # --- phase "bases_prod" (round 3, VERDICT #1): H2O 6-31G and the water
+    # dimer at the REFERENCE production sampling window (unique in [1e4,1e5],
+    # run.py:8-11; full-mask for the larger bases per larger_basis_sets.sh)
+    jobs.append(("bases_prod", _job(
+        "h2o_631g_prod", "H2O_6-31G", 10000, samp=SAMP_PROD,
+        extra=["-full_mask_psi"],
+    )))
+    jobs.append(("bases_prod", _job(
+        "h4o2_prod", "H4O2", 10000, samp=SAMP_PROD,
+    )))
+
+    # --- phase "n2fix" (round 3, VERDICT #5): the three deep-stretch N2
+    # points whose post-warm-start E_loc series went NaN in round 2; rerun
+    # end-to-end on the non-finite-guarded update path
+    for r in ["1.8", "2.1", "2.25"]:
+        jobs.append(("n2fix", _job(f"n2_{r}", f"N2_{r}", 5000,
+                                   extra=["-ws_solve_h", "2500"])))
 
     # --- phase "zoo": remaining sto-3g systems (seed 11, production config)
     zoo = [
@@ -89,8 +113,8 @@ def build_jobs():
     # geometries sit in a near-degenerate manifold where plain VMC traps on
     # excited eigenstates (round-1 finding); those points run the two-phase
     # solve_H warm-start protocol.
-    for r in ["0.75", "0.9", "1.05", "1.2", "1.35", "1.5",
-              "1.65", "1.8", "1.95", "2.1", "2.25"]:
+    for r in ["0.75", "0.9", "1.05", "1.2", "1.35", "1.5", "1.65", "1.95"]:
+        # 1.8/2.1/2.25 live in the round-3 "n2fix" phase above
         extra = ["-ws_solve_h", "2500"] if float(r) >= 1.5 else []
         n = 5000 if float(r) >= 1.5 else 4000
         jobs.append(("n2curve", _job(f"n2_{r}", f"N2_{r}", n, extra=extra)))
@@ -115,24 +139,43 @@ def build_jobs():
     )))
 
     # --- phase "seeds": 5-seed production batches (reference batch_train.sh)
-    for mol, n in [("LiH", 2500), ("H2O", 4000), ("N2", 6000)]:
+    for mol, n in [("LiH", 2500), ("H2O", 4000)]:
         for seed in [111, 222, 333, 444, 555]:
             jobs.append(
                 ("seeds", _job(f"seeds_{mol}_{seed}", mol, n, seed=seed))
             )
+    # N2 seeds are beyond the reference's LiH/H2O reproducibility ask; they
+    # run last if the round window allows
+    for seed in [111, 222, 333, 444, 555]:
+        jobs.append(
+            ("seeds_n2", _job(f"seeds_N2_{seed}", "N2", 6000, seed=seed))
+        )
 
-    # --- phase "carleo": Choo et al. comparison geometries
-    for mol, n in [("carleo/H2", 800), ("carleo/LiH", 2500),
-                   ("carleo/H2O", 4000), ("carleo/NH3", 4000),
-                   ("carleo/C2", 6000), ("carleo/N2", 6000)]:
+    # --- phase "carleo": Choo et al. comparison geometries (reference
+    # carleo_comps.sh trains these with the full-mask ansatz). Windows match
+    # each system's support size: the small systems saturate below 4096
+    # unique states, C2/N2 sto-3g spaces are ~14-17k, H2O 6-31G is 1.66M.
+    for mol, n, samp in [("carleo/H2", 800, SAMP), ("carleo/LiH", 2500, SAMP),
+                         ("carleo/H2O", 4000, SAMP), ("carleo/NH3", 4000, SAMP),
+                         ("carleo/C2", 6000, SAMP_BIG),
+                         ("carleo/N2", 6000, SAMP_BIG)]:
         tag = mol.split("/")[-1].lower()
-        jobs.append(("carleo", _job(f"carleo_{tag}", mol, n)))
+        extra = ["-full_mask_psi"]
+        if tag == "c2":  # strongly multireference (same protocol as zoo_C2)
+            extra += ["-ws_solve_h", "3000"]
+        jobs.append(("carleo", _job(f"carleo_{tag}", mol, n, samp=samp,
+                                    extra=extra)))
     jobs.append(("carleo", _job(
-        "carleo_h2o631g", "carleo/H2O_6-31G", 4000, samp=SAMP_BIG,
+        "carleo_h2o631g", "carleo/H2O_6-31G", 6000, samp=SAMP_PROD,
         extra=["-full_mask_psi"],
     )))
 
     return jobs
+
+
+# execution priority for the round (VERDICT ranking); unknown phases run last
+PHASE_ORDER = ["bases_prod", "n2fix", "zoo", "bases", "n2curve", "ablations",
+               "optimizers", "carleo", "seeds", "seeds_n2"]
 
 
 def job_done(out_dir: str) -> bool:
@@ -217,6 +260,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     jobs = build_jobs()
+    jobs.sort(key=lambda pj: PHASE_ORDER.index(pj[0])
+              if pj[0] in PHASE_ORDER else len(PHASE_ORDER))
     if args.phases:
         jobs = [(ph, j) for ph, j in jobs if ph in args.phases]
     if args.only:

@@ -46,6 +46,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-lr_lut", type=float, default=1e-2, help="LUT-conditional LR")
     p.add_argument("-n_train", type=int, default=5000)
     p.add_argument("-n_pretrain", type=int, default=0)
+    p.add_argument("-pretrain_hf", type=int, default=0,
+                   help="BCE pre-training epochs towards the Hartree-Fock "
+                        "state (reference pre_train, energy.py:788-838)")
+    p.add_argument("-input_encoding", choices=["binary", "integer"],
+                   default="binary",
+                   help="conditional-input encoding (reference "
+                        "InputEncoding.BINARY/INTEGER, network/base.py)")
     p.add_argument("-n_lut", type=int, default=0,
                    help="number of leading shells using LUT conditionals")
     p.add_argument("-n_hid", type=int, default=64)
@@ -211,6 +218,7 @@ def run(args=None) -> dict:
             num_lut=args.n_lut,
             combined_amp_phase=args.comb_amp_phase,
             shell_order=shell_order,
+            input_encoding=args.input_encoding,
         )
 
         terms = _load_or_compile_terms(args, mol, n_exc)
@@ -259,9 +267,13 @@ def run(args=None) -> dict:
             trainer.save_loc = out_dir
         if args.cont and os.path.exists(os.path.join(out_dir, "checkpoint.msgpack")):
             trainer.load()
-        elif args.n_pretrain > 0:
-            print(f"Pre-flattening for {args.n_pretrain} epochs...")
-            trainer.pre_flatten(args.n_pretrain)
+        else:
+            if args.n_pretrain > 0:
+                print(f"Pre-flattening for {args.n_pretrain} epochs...")
+                trainer.pre_flatten(args.n_pretrain)
+            if args.pretrain_hf > 0:
+                print(f"HF pre-training for {args.pretrain_hf} epochs...")
+                trainer.pre_train_hf(args.pretrain_hf)
         if args.resetOpt:
             trainer.opt_state = trainer.optimizer.init(trainer.params)
 

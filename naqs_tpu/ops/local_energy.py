@@ -284,8 +284,11 @@ def _quadratic_energy_chunk(
 
     coupled = s[:, None] ^ dt.xy_unique[None, :]
     if dt.rank_spec is not None:
-        # la_all here is the differentiable (size+1, 2) rank value table
-        # (misses hold la = -100 => exp underflows to exactly 0 in f32)
+        # la_all here is the differentiable (size+1, 2) rank value table.
+        # Misses hold la = -200: exp(-200 + la') with la' <= 0 is < 1.4e-87,
+        # far below the smallest f32 subnormal, so unsampled pairs contribute
+        # exactly 0 regardless of FTZ behavior (-100 alone would leave a
+        # representable ~3.7e-44 subnormal on CPU/XLA backends).
         idx = rank_index(dt.rank_spec, coupled)
         g = la_all[idx]
         g_la, g_ph = g[..., 0], g[..., 1]
@@ -329,22 +332,23 @@ def quadratic_energy(
     live = jnp.arange(u) < n_valid
     la = jnp.where(live, log_amp, -jnp.inf)
     ref = jnp.max(la)
-    la = jnp.where(live, log_amp - ref, -100.0)
+    la = jnp.where(live, log_amp - ref, -200.0)
 
     c = chunk_rows or _chunk_rows(int(dt.xy_unique.shape[0]), int(dt.yz_unique.shape[0]))
     c = min(c, u)
     n_chunks = -(-u // c)
     pad = n_chunks * c - u
     s_p = jnp.pad(states, (0, pad), constant_values=np.uint64(2**64 - 1))
-    la_p = jnp.pad(la, (0, pad), constant_values=-100.0)
+    la_p = jnp.pad(la, (0, pad), constant_values=-200.0)
     ph_p = jnp.pad(phase, (0, pad))
     live_p = jnp.pad(live, (0, pad))
 
     if dt.rank_spec is not None:
-        # differentiable dense value table; miss slots at la=-100 make the
-        # symmetric product exp(la+la') underflow to exactly 0 in f32
+        # differentiable dense value table; miss slots at la=-200 make the
+        # symmetric product exp(la+la') underflow to exactly 0 in f32 even
+        # with la'=0 and without relying on FTZ (e^-200 ~ 1.4e-87)
         table = build_value_table(
-            dt.rank_spec, states, la, phase, n_valid, miss_log_amp=-100.0
+            dt.rank_spec, states, la, phase, n_valid, miss_log_amp=-200.0
         )
         la_arg, ph_arg = table, phase
     else:

@@ -37,6 +37,10 @@ def initialize_distributed(
     masking a real init failure would silently train on 1/N of the fleet.
     """
     explicit = num_processes is not None and num_processes > 1
+    if jax.distributed.is_initialized():
+        # idempotent: a second call in an already-initialized process is a
+        # no-op success, not a failure to re-raise
+        return True
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -47,8 +47,10 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap):
     """Shared sharded front half: per-shard sample, all-gather the global
     psi table, local energies of local rows against the global support.
 
-    Returns (batch, live, w, e_re, e_im, stats) where w sums to 1 GLOBALLY
-    and stats = (e_mean, e_mean_im, e_var, n_unique_global, overflow).
+    Returns (batch, live, w, e_re, e_im, stats, record) where w sums to 1
+    GLOBALLY, stats = (e_mean, e_mean_im, e_var, n_unique_global, overflow),
+    and record = (g_states, g_counts, g_n_valid) is the sorted merged sample
+    buffer for the host-side sampled-state counter (solve_h history).
     """
     batch = sample(cfg, params, key, n_samples / n_dev, cap)
     live = jnp.arange(batch.states.shape[0]) < batch.n_unique
@@ -59,12 +61,16 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap):
     g_la = jax.lax.all_gather(la_l, "dp").reshape(-1)
     g_ph = jax.lax.all_gather(ph_l, "dp").reshape(-1)
     g_live = jax.lax.all_gather(live, "dp").reshape(-1)
+    g_counts = jax.lax.all_gather(
+        jnp.where(live, batch.counts, 0.0), "dp"
+    ).reshape(-1)
     # re-sort the merged buffer (padding SENTINELs sort last)
     order = jnp.argsort(g_states)
     g_states = g_states[order]
     g_la = g_la[order]
     g_ph = g_ph[order]
     g_live_s = g_live[order]
+    g_counts = g_counts[order]
     g_n_valid = jnp.sum(g_live).astype(jnp.int32)
     # globally deduplicated unique count: shards sample independently, so
     # the same state may appear on several shards (harmless for count-
@@ -88,7 +94,8 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap):
     e_var = jax.lax.psum(jnp.sum(w * (e_re - e_mean) ** 2), "dp")
     overflow = jax.lax.psum(batch.overflow.astype(jnp.int32), "dp") > 0
     stats = (e_mean, e_mean_im, e_var, n_unique_global, overflow)
-    return batch, live, w, e_re, e_im, stats
+    record = (g_states, g_counts, g_n_valid)
+    return batch, live, w, e_re, e_im, stats, record
 
 
 def make_sharded_train_step(
@@ -108,7 +115,7 @@ def make_sharded_train_step(
     n_dev = mesh.devices.size
 
     def _device_step(params, opt_state, dt: DeviceTerms, keys, n_samples):
-        batch, live, w, e_re, e_im, stats = _sample_and_energy(
+        batch, live, w, e_re, e_im, stats, record = _sample_and_energy(
             cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device
         )
         e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
@@ -132,6 +139,11 @@ def make_sharded_train_step(
             "e_loc_var": e_var,
             "n_unique": n_unique_global,
             "overflow": overflow,
+            # merged sample buffer for the host-side counter (solve_h
+            # history); replicated, transferred only every RECORD_FREQ steps
+            "rec_states": record[0],
+            "rec_counts": record[1],
+            "rec_n_valid": record[2],
         }
         return params, opt_state, metrics
 
@@ -162,7 +174,7 @@ def make_sharded_sr_step(
 
     def _device_step(params, dt: DeviceTerms, keys, n_samples, lr, damping):
         flat0, unravel = ravel_pytree(params)
-        batch, live, w, e_re, e_im, stats = _sample_and_energy(
+        batch, live, w, e_re, e_im, stats, record = _sample_and_energy(
             cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device
         )
         e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
@@ -199,6 +211,9 @@ def make_sharded_sr_step(
             "n_unique": n_unique_global,
             "overflow": overflow,
             "grad_norm": jnp.linalg.norm(grad),
+            "rec_states": record[0],
+            "rec_counts": record[1],
+            "rec_n_valid": record[2],
         }
         return params, metrics
 

@@ -157,7 +157,9 @@ def vmc_update(
             w = jnp.where(live, jnp.exp(2.0 * la_d.astype(jnp.float64)), 0.0)
         else:
             w = jnp.where(live, batch.counts, 0.0)
-        w = w / jnp.sum(w)
+        # guard the empty-batch case (n_unique == 0): 0/0 weights would
+        # poison params with NaN permanently; 0-weights make the step a no-op
+        w = w / jnp.maximum(jnp.sum(w), 1e-300)
         e_re, e_im = local_energy(dt, batch.states, la_d, ph_d, batch.n_unique)
         e_re = jnp.where(live, e_re, 0.0)
         e_im = jnp.where(live, e_im, 0.0)
@@ -171,12 +173,18 @@ def vmc_update(
         return loss, (e_mean, e_var)
 
     (loss, (e_mean, e_var)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    grad_norm = optax.global_norm(grads)
     updates, new_opt_state = optimizer.update(grads, opt_state, params)
     new_params = optax.apply_updates(params, updates)
-    # a capacity-overflowed batch is truncated (biased): withhold the update
-    # so the host controller can resample without an intermediate sync
+    # withhold the update when (a) the batch overflowed capacity (truncated =>
+    # biased), or (b) anything went non-finite (one NaN gradient would poison
+    # params and the Adam moments PERMANENTLY — observed on stretched N2)
+    bad = (batch.overflow
+           | ~jnp.isfinite(loss)
+           | ~jnp.isfinite(grad_norm)
+           | ~jnp.isfinite(e_mean))
     keep = lambda new, old: jax.tree_util.tree_map(
-        lambda n, o: jnp.where(batch.overflow, o, n), new, old
+        lambda n, o: jnp.where(bad, o, n), new, old
     )
     params = keep(new_params, params)
     opt_state = keep(new_opt_state, opt_state)
@@ -184,7 +192,7 @@ def vmc_update(
         "e_loc": e_mean,
         "e_loc_var": e_var,
         "loss": loss,
-        "grad_norm": optax.global_norm(grads),
+        "grad_norm": grad_norm,
     }
     return params, opt_state, metrics
 
@@ -304,6 +312,10 @@ class VMCTrainer:
     # latency) tunnel; the top-k-most-sampled statistic is insensitive to
     # subsampling, so record every few steps
     RECORD_FREQ = 5
+    # bound counter memory on long large-window runs: prune to the top half
+    # when it exceeds this many distinct states (solve_h only ever uses the
+    # top-k_max, so dropping the long low-count tail is loss-free in practice)
+    COUNTER_MAX = 2_000_000
 
     def _record_samples(self, batch: SampleBatch, n_unq: Optional[int] = None):
         if self.n_steps % self.RECORD_FREQ:
@@ -314,9 +326,22 @@ class VMCTrainer:
         # tunneled TPU every distinct dispatched op costs a remote compile
         states = np.asarray(batch.states)[:nu]
         counts = np.asarray(batch.counts)[:nu]
+        self._record_arrays(states, counts)
+
+    def _record_arrays(self, states: np.ndarray, counts: np.ndarray):
         get = self.sampled_counter.get
         for s, c in zip(states.tolist(), counts.tolist()):
             self.sampled_counter[s] = get(s, 0.0) + c
+        if len(self.sampled_counter) > self.COUNTER_MAX:
+            keys = np.fromiter(self.sampled_counter.keys(), dtype=np.uint64,
+                               count=len(self.sampled_counter))
+            vals = np.fromiter(self.sampled_counter.values(), dtype=np.float64,
+                               count=len(self.sampled_counter))
+            keep = np.argpartition(vals, -self.COUNTER_MAX // 2)[
+                -self.COUNTER_MAX // 2:]
+            self.sampled_counter = dict(
+                zip(keys[keep].tolist(), vals[keep].tolist())
+            )
 
     # -- sampling with the reference's adaptive batch-size controller
     def get_samples(self, max_retries: int = 12) -> SampleBatch:
@@ -442,6 +467,14 @@ class VMCTrainer:
             self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
         elif n_unq > self.tc.n_unq_samples_max:
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
+        # feed the solve_h history counter from the merged (all-gathered)
+        # sample buffer the sharded step already produced
+        if self.n_steps % self.RECORD_FREQ == 0:
+            nv = int(metrics["rec_n_valid"])
+            self._record_arrays(
+                np.asarray(metrics["rec_states"])[:nv],
+                np.asarray(metrics["rec_counts"])[:nv],
+            )
         self.n_steps += 1
         dt_step = time.time() - t0
         self.run_time += dt_step
@@ -667,17 +700,25 @@ class VMCTrainer:
         return self
 
     def pre_train_targets(self, states: np.ndarray, target_psi: np.ndarray,
-                          n_epochs: int, lr: float = 5e-3):
+                          n_epochs: int, lr: float = 5e-3,
+                          mag_floor: float = 1e-8):
         """Supervised warm start towards given complex amplitudes on given
         states (generalizes the reference's pre_train target_amps path,
         energy.py:799-828): fits log|psi| by MSE and the sign/phase by a
-        cosine loss."""
+        cosine loss.
+
+        `mag_floor` clamps |target|/max(|target|) from below. It must stay
+        moderate: fitting log-amp targets of log(1e-30) = -69 for numerically
+        zero eigenvector entries collapses the sampled distribution onto a
+        near-delta (observed on stretched N2: n_unique -> 1, zero gradient,
+        then NaN weights), because the conditional renormalization
+        concentrates all removed mass on the dominant state."""
         states = np.asarray(states, dtype=np.uint64)
         order = np.argsort(states)
         states = states[order]
         t = np.asarray(target_psi)[order]
         mag = np.abs(t)
-        mag = np.maximum(mag / max(mag.max(), 1e-300), 1e-30)
+        mag = np.maximum(mag / max(mag.max(), 1e-300), mag_floor)
         la_t = jnp.asarray(np.log(mag), dtype=jnp.float32)
         ph_t = jnp.asarray(np.angle(t), dtype=jnp.float32)
         s_dev = jnp.asarray(states)
@@ -703,12 +744,20 @@ class VMCTrainer:
         return float(loss)
 
     def warm_start_from_solve_h(self, n_epochs: int = 500, n_samps: Optional[float] = None,
-                                k_max: int = 10000, lr: float = 2e-3):
+                                k_max: int = 10000, lr: float = 2e-3,
+                                select_min: float = 1e-4):
         """Escape optimization traps by re-targeting the model at the ground
         state of H restricted to the currently-sampled subspace: sample ->
         diagonalize (host, native C++ assembly) -> supervised pre-train to
         the eigenvector. Tractable where exact diagonalization is not
         (k_max states), and uses only quantities the framework already has.
+
+        Only eigenvector entries with |v| > select_min * max|v| are fitted:
+        numerically-zero entries carry no signal about the target state, and
+        dragging their log-amplitudes to the clamp floor concentrates the
+        sampled distribution onto a near-delta from which count-weighted
+        VMC cannot recover (zero variance => zero gradient; round-2 NaN
+        failure on N2 at r >= 1.8).
         """
         from scipy.sparse.linalg import eigsh
 
@@ -741,7 +790,11 @@ class VMCTrainer:
         else:
             w, v = eigsh(H, k=1, which="SA")
             vec, e0 = v[:, 0], w[0]
-        self.pre_train_targets(states, vec.astype(np.complex128), n_epochs, lr=lr)
+        keep = np.abs(vec) > select_min * np.abs(vec).max()
+        if keep.sum() < 2:  # degenerate fit target: fall back to all entries
+            keep = np.ones(len(vec), bool)
+        self.pre_train_targets(states[keep], vec[keep].astype(np.complex128),
+                               n_epochs, lr=lr)
         return float(e0), len(states)
 
     def pre_train_hf(self, n_epochs: int, lr: float = 5e-3):
@@ -776,11 +829,11 @@ class VMCTrainer:
                                count=len(self.sampled_counter))
             vals = np.fromiter(self.sampled_counter.values(), dtype=np.float64,
                                count=len(self.sampled_counter))
-            nu = len(keys)
-            if nu > k_max:
+            if len(keys) > k_max:
                 top = np.argpartition(vals, -k_max)[-k_max:]
                 keys = keys[top]
             states = np.sort(keys)
+            nu = len(states)  # the actually-diagonalized subspace size
         else:
             self.key, k = jax.random.split(self.key)
             batch = sample(
@@ -793,6 +846,7 @@ class VMCTrainer:
             if nu > k_max:
                 top = np.argsort(counts)[-k_max:]
                 states = np.sort(states[top])
+            nu = len(states)
         H = assemble_sparse_hamiltonian_np(self.terms, states)
         if H.shape[0] < 3:
             w = np.linalg.eigvalsh(H.toarray())
@@ -809,6 +863,10 @@ class VMCTrainer:
         return _save_log(self.log, os.path.join(self.save_loc, fname))
 
     # -- checkpointing
+    # counter entries persisted per checkpoint; solve_h uses at most the
+    # top-10k, so the top-200k truncation is far beyond loss-free
+    COUNTER_SAVE_MAX = 200_000
+
     def save(self, fname: str = "checkpoint"):
         from flax import serialization
 
@@ -820,10 +878,31 @@ class VMCTrainer:
         )
         with open(path, "wb") as f:
             f.write(blob)
+        if self.kfac_state is not None:
+            with open(os.path.join(self.save_loc, f"{fname}_kfac.msgpack"),
+                      "wb") as f:
+                f.write(serialization.to_bytes(self.kfac_state))
+        # the sampled-state history counter feeding solve_h (the reference
+        # checkpoints its Counter too, energy.py:409-487) — without it a
+        # resumed run's "VMC+FCI" subspace sees only post-resume history
+        if self.sampled_counter:
+            keys = np.fromiter(self.sampled_counter.keys(), dtype=np.uint64,
+                               count=len(self.sampled_counter))
+            vals = np.fromiter(self.sampled_counter.values(), dtype=np.float64,
+                               count=len(self.sampled_counter))
+            if len(keys) > self.COUNTER_SAVE_MAX:
+                top = np.argpartition(vals, -self.COUNTER_SAVE_MAX)[
+                    -self.COUNTER_SAVE_MAX:]
+                keys, vals = keys[top], vals[top]
+            np.savez_compressed(
+                os.path.join(self.save_loc, f"{fname}_counter.npz"),
+                states=keys, counts=vals,
+            )
         meta = {
             "n_steps": self.n_steps,
             "run_time": self.run_time,
             "n_samples": self.n_samples,
+            "d_p": self.d_p,
             "prng_key": np.asarray(jax.random.key_data(self.key)).tolist(),
             "log": {k: v for k, v in self.log.items()},
         }
@@ -842,6 +921,20 @@ class VMCTrainer:
         )
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
+        kfac_path = os.path.join(self.save_loc, f"{fname}_kfac.msgpack")
+        if os.path.exists(kfac_path):
+            from naqs_tpu.kfac import kfac_init
+
+            with open(kfac_path, "rb") as f:
+                self.kfac_state = serialization.from_bytes(
+                    kfac_init(self.params), f.read()
+                )
+        counter_path = os.path.join(self.save_loc, f"{fname}_counter.npz")
+        if os.path.exists(counter_path):
+            with np.load(counter_path) as z:
+                self.sampled_counter = dict(
+                    zip(z["states"].tolist(), z["counts"].tolist())
+                )
         meta_path = os.path.join(self.save_loc, f"{fname}.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -849,6 +942,7 @@ class VMCTrainer:
             self.n_steps = meta["n_steps"]
             self.run_time = meta["run_time"]
             self.n_samples = meta["n_samples"]
+            self.d_p = meta.get("d_p", self.d_p)
             if "prng_key" in meta:
                 # resume the sample stream where the interrupted run left it
                 self.key = jax.random.wrap_key_data(

@@ -82,3 +82,54 @@ def test_checkpoint_resume_is_bit_faithful(tmp_path, h2_trained):
     o1, o2 = tr.step(), tr2.step()
     assert o1["n_unique"] == o2["n_unique"]
     assert abs(o1["e_loc"] - o2["e_loc"]) < 1e-9
+
+
+@pytest.mark.slow
+def test_counter_persists_across_checkpoint(tmp_path, h2_trained):
+    """solve_h draws from the cross-step sampled-state counter; the counter
+    must survive save/load (reference checkpoints its Counter,
+    energy.py:409-487) or every fleet resume forgets the history."""
+    mol, tr = h2_trained
+    assert tr.sampled_counter, "training should have populated the counter"
+    tr.save_loc = str(tmp_path)
+    tr.save()
+    tr2 = VMCTrainer(tr.cfg, tr.terms, tr.hilbert, tr.tc, save_loc=str(tmp_path))
+    assert not tr2.sampled_counter
+    tr2.load()
+    assert tr2.sampled_counter == tr.sampled_counter
+    e1, n1 = tr.solve_h(use_counter=True)
+    e2, n2 = tr2.solve_h(use_counter=True)
+    assert n1 == n2
+    assert abs(e1 - e2) < 1e-12
+
+
+@pytest.mark.slow
+def test_warm_start_protocol_stays_finite():
+    """Round-2 regression: on stretched N2 the solve_H warm start collapsed
+    the sampled distribution onto a near-delta (fitting log(1e-30) targets
+    for numerically-zero eigenvector entries), then n_unique -> 0 and the
+    0/0 count weights poisoned params with NaN permanently. The protocol
+    must keep the sampler healthy and training finite."""
+    import math
+
+    mol = nq.load_molecule("N2_2.25")
+    h = nq.Hilbert.for_molecule(mol, restrict_to_ms=True)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    s = mol.n_qubits // 2
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors, masking="partial",
+        amp_hidden=(16,), phase_hidden=(64,), use_amp_spin_sym=True,
+        shell_order=tuple(range(s - 1, -1, -1)),
+    )
+    tc = TrainConfig(n_train=400, n_samples=1e6, n_unq_samples_min=64,
+                     n_unq_samples_max=1024, seed=3)
+    tr = VMCTrainer(cfg, terms, h, tc)
+    tr.pre_flatten(10)
+    tr.run(250, output_freq=1000)
+    e_sub, n_sub = tr.warm_start_from_solve_h(n_epochs=200)
+    assert math.isfinite(e_sub) and n_sub > 10
+    for _ in range(40):
+        out = tr.step()
+        assert math.isfinite(out["e_loc"]), out
+    # the sampler must not have collapsed onto a delta distribution
+    assert out["n_unique"] > 10, out
