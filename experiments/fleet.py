@@ -63,13 +63,19 @@ def build_jobs():
 
     # --- phase "bases_prod" (round 3, VERDICT #1): H2O 6-31G and the water
     # dimer at the REFERENCE production sampling window (unique in [1e4,1e5],
-    # run.py:8-11; full-mask for the larger bases per larger_basis_sets.sh)
+    # run.py:8-11; full-mask for the larger bases per larger_basis_sets.sh).
+    # Two-stage schedule: stage 1 = the completed round-2 runs (10k/5k steps
+    # at a 16k window), stage 2 = continued training at the production
+    # window (measured 2.06 s/step at unq ~77k on the v5e — a from-scratch
+    # 10k-step production-window run costs ~6 h/system and does not fit the
+    # round alongside the other suites).
     jobs.append(("bases_prod", _job(
-        "h2o_631g_prod", "H2O_6-31G", 10000, samp=SAMP_PROD,
-        extra=["-full_mask_psi"],
+        "h2o_631g_prod", "H2O_6-31G", 14000, samp=SAMP_PROD,
+        extra=["-full_mask_psi", "-l", "data/fleet/h2o_631g"],
     )))
     jobs.append(("bases_prod", _job(
-        "h4o2_prod", "H4O2", 10000, samp=SAMP_PROD,
+        "h4o2_prod", "H4O2", 9000, samp=SAMP_PROD,
+        extra=["-l", "data/fleet/h4o2"],
     )))
 
     # --- phase "n2fix" (round 3, VERDICT #5): the three deep-stretch N2
@@ -188,7 +194,7 @@ def job_skipped(out_dir: str) -> bool:
 
 
 def run_job(job, stall_secs: float, max_attempts: int = 10,
-            compile_grace: float = 1500.0) -> bool:
+            compile_grace: float = 2400.0) -> bool:
     out_dir = os.path.join(OUT_ROOT, job["name"])
     os.makedirs(out_dir, exist_ok=True)
     log_path = os.path.join(out_dir, "fleet_log.txt")

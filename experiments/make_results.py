@@ -156,13 +156,27 @@ def main(argv=None):
 
     seeds = [k for k in S if k.startswith("seeds_")]
     if seeds:
-        A("## Multi-seed reproducibility (reference 5-seed protocol)")
+        A("## Multi-seed reproducibility (reference 5-seed protocol, seeds 111-555)")
         A("")
         A("| System | seed | E (Ha) | FCI (Ha) | E-FCI (mHa) | VMC+FCI-FCI (mHa) | chem acc |")
         A("|---|---|---|---|---|---|---|")
+        by_mol = {}
         for k in sorted(seeds):
-            mol, seed = k.split("_")[1], k.split("_")[2]
+            mol = k.split("_")[1]
             A(row(f"{mol} sto-3g", S[k]))
+            e, fci = best_e(S[k]), S[k].get("fci_energy")
+            if e is not None and fci is not None:
+                by_mol.setdefault(mol, []).append((e - fci) * 1e3)
+        A("")
+        A("Seed statistics (E-FCI, mHa):")
+        A("")
+        A("| System | n seeds | mean | std | max | all chem acc |")
+        A("|---|---|---|---|---|---|")
+        import numpy as _np
+        for mol, ds in sorted(by_mol.items()):
+            d = _np.asarray(ds)
+            A(f"| {mol} sto-3g | {len(d)} | {d.mean():+.3f} | {d.std():.3f} "
+              f"| {d.max():+.3f} | {'yes' if (d < 1.6).all() else 'no'} |")
         A("")
 
     abl = [k for k in S if k.startswith("abl_")]
