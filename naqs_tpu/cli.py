@@ -98,6 +98,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="capture a jax profiler trace of the first 20 steps")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-s", "--seed", type=int, default=-1)
+    p.add_argument("-platform", default=None,
+                   help="force a jax platform (e.g. 'cpu'); the axon "
+                        "sitecustomize overrides JAX_PLATFORMS, so an env "
+                        "var alone cannot force CPU for side experiments")
     return p
 
 
@@ -129,6 +133,9 @@ def run(args=None) -> dict:
         parser.error("at most one of -no_mask_psi / -full_mask_psi")
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # persistent compilation cache: repeated runs (seed batches, resumed
     # segments) reuse executables instead of paying the remote compile again
@@ -261,12 +268,20 @@ def run(args=None) -> dict:
                   f"(stored FCI: {mol.fci_energy})")
             results["presolve_e0"] = e0
 
+        warm_loaded = False
         if args.load:
             trainer.save_loc = args.load
             trainer.load()
             trainer.save_loc = out_dir
+            warm_loaded = True
         if args.cont and os.path.exists(os.path.join(out_dir, "checkpoint.msgpack")):
             trainer.load()
+        elif warm_loaded:
+            # a -l warm start IS the initialization: re-running the
+            # pre-flatten/HF pretraining here would wipe the loaded
+            # distribution (observed: a trained H2O 6-31G model at
+            # -76.111 Ha degraded to -60.8 after 20 flattening epochs)
+            pass
         else:
             if args.n_pretrain > 0:
                 print(f"Pre-flattening for {args.n_pretrain} epochs...")
