@@ -1,0 +1,266 @@
+"""Dense sector-grid local-energy engine: gathers become static permutations.
+
+The sampled-path engine (ops/local_energy.py) resolves psi(s ^ xy_k) with
+one random row gather per (state, flip-mask) pair -- M*Kxy rows/call, and
+XLA's TPU gather is issue-bound at ~0.32 G rows/s (the engine hot spot).
+
+This module exploits the combinadic table layout (ops/rank.py): inside one
+(n_alpha, n_beta) sector the dense index factors as
+
+    idx(s) = rank_a(alpha(s)) * Sb + rank_b(beta(s)),      Sa x Sb grid
+
+and a flip mask xy = (xa, xb) acts INDEPENDENTLY on the two factors:
+
+    idx(s ^ xy) = pi_a[xa][ra] * Sb + pi_b[xb][rb]
+
+where pi_a/pi_b are STATIC partial permutation maps (molecular JW
+Hamiltonians conserve n_alpha and n_beta, so every coupled state lives in
+the same sector; a mask that changes an electron count simply has no valid
+image). The per-pair random gather therefore collapses into two structured
+row-gather stages over the full sector grid:
+
+    R1[ka]   = U[pi_a[ka], :]            (Ka*Sa rows)
+    T[k, rb] = R1t_flat[row_map[k, rb]]  (Kxy*Sb rows)
+
+~100k rows/call instead of M*Kxy ~ 3-7M -- a ~30-60x reduction in gather
+issue cost. Everything else is static and precomputed once per molecule:
+the per-mask Hamiltonian row values H_x(s) (a (Kxy, Sb, Sa) tensor; the
+reference recomputes parities per batch, src_cpp/hamiltonian_math.pyx:200)
+and the f64 diagonal <s|H|s>.
+
+Values, not log-amps, ride the pipeline: U holds psi/max|psi| per grid
+cell, so unsampled states and invalid images are plain zeros -- the
+truncation semantics psi(unsampled)=0 (reference energy.py:247-248) with
+no miss-markers or found-masks anywhere.
+
+Applies when the space is single-sector and small enough to keep the
+static H tensor in HBM (the sto-3g zoo, the N2/carleo suites); larger
+spaces stay on the rank/sort engines.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from math import comb
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# dense-mode caps: sector grid cells and static H tensor bytes
+DENSE_SIZE_MAX = int(os.environ.get("NAQS_TPU_DENSE_MAX", 1 << 16))
+DENSE_H_BYTES_MAX = int(os.environ.get("NAQS_TPU_DENSE_H_MAX", 1 << 28))
+# terms per accumulation chunk (bounds the (KC, Sb, Sa) intermediates)
+_CHUNK_TERMS = 256
+
+
+def _colex_ranks(s: int, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(packed_shellbits, colex_rank) for all C(s, n) combinations.
+
+    Combinations are enumerated in the colex order of ops/rank.py:
+    rank = sum_i C(p_i, i+1) over the i-th lowest set position p_i.
+    """
+    from itertools import combinations
+
+    m = comb(s, n)
+    packed = np.zeros((m,), np.int64)
+    for pos in combinations(range(s), n):
+        r = sum(comb(p, i + 1) for i, p in enumerate(pos))
+        packed[r] = sum(1 << p for p in pos)
+    return packed
+
+
+def _perm_map(packed: np.ndarray, flip: int, invalid: int) -> np.ndarray:
+    """rank -> rank of (combo ^ flip), or `invalid` if the count changes."""
+    s_rank = {int(p): r for r, p in enumerate(packed)}
+    out = np.full((len(packed),), invalid, np.int32)
+    for r, p in enumerate(packed):
+        q = int(p) ^ flip
+        j = s_rank.get(q)
+        if j is not None:
+            out[r] = j
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DenseTerms:
+    """Static dense-mode program for one (na, nb) sector."""
+
+    r1_idx: jnp.ndarray    # (Ka, Sa) int32 into U rows [0, Sa]; Sa = pad row
+    row_map: jnp.ndarray   # (Kxy_pad, Sb) int32 into R1t_flat rows
+    h_dense: jnp.ndarray   # (Kxy_pad, Sb, Sa) f32  H_x(s) in [rb, ra] layout
+    e_diag: jnp.ndarray    # (Sa*Sb + 1,) f64   <s|H|s>, 0 at the sentinel
+    sa: int
+    sb: int
+
+    def tree_flatten(self):
+        return ((self.r1_idx, self.row_map, self.h_dense, self.e_diag),
+                (self.sa, self.sb))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, sa=aux[0], sb=aux[1])
+
+    @staticmethod
+    def supported(terms, hilbert) -> bool:
+        if len(set(hilbert.sectors)) != 1:
+            return False
+        if hilbert.sector_size > DENSE_SIZE_MAX:
+            return False
+        (na, nb), = set(hilbert.sectors)
+        s = hilbert.n_shells
+        sa, sb = comb(s, na), comb(s, nb)
+        kxy = len(terms.xy_unique)
+        return kxy * sa * sb * 4 <= DENSE_H_BYTES_MAX
+
+    @staticmethod
+    def build(terms, hilbert) -> "DenseTerms":
+        assert DenseTerms.supported(terms, hilbert)
+        (na, nb), = set(hilbert.sectors)
+        s = hilbert.n_shells
+
+        alpha_packed = _colex_ranks(s, na)      # shell-bit packed, rank order
+        beta_packed = _colex_ranks(s, nb)
+        sa, sb = len(alpha_packed), len(beta_packed)
+
+        # split each flip mask into shell-space alpha/beta parts
+        xy = np.asarray(terms.xy_unique, dtype=np.uint64)
+        xa = np.zeros(len(xy), np.int64)
+        xb = np.zeros(len(xy), np.int64)
+        for j in range(s):
+            xa |= ((xy >> np.uint64(2 * j)) & 1).astype(np.int64) << j
+            xb |= ((xy >> np.uint64(2 * j + 1)) & 1).astype(np.int64) << j
+        ua, ga = np.unique(xa, return_inverse=True)
+        ub, gb = np.unique(xb, return_inverse=True)
+
+        r1_idx = np.stack(
+            [_perm_map(alpha_packed, int(f), invalid=sa) for f in ua])
+        pb_idx = np.stack(
+            [_perm_map(beta_packed, int(f), invalid=sb) for f in ub])
+        # combined second-stage map: R1 is (Ka, Sa, Sb+1); transposed and
+        # flattened to (Ka*(Sb+1), Sa) rows indexed by [ka, rb']
+        row_map = (ga[:, None] * (sb + 1) + pb_idx[gb]).astype(np.int32)
+
+        # static H values H_x(s) over the full grid, [rb, ra] layout
+        state_grid = (
+            _expand_qubits(alpha_packed, 0, s)[None, :]
+            | _expand_qubits(beta_packed, 1, s)[:, None]
+        )  # (Sb, Sa) uint64
+        h_dense = np.zeros((len(xy), sb, sa), np.float32)
+        coeff = np.asarray(terms.coeff, np.float64)
+        gxy = np.asarray(terms.gxy)
+        yz = np.asarray(terms.yz_unique, np.uint64)[np.asarray(terms.gyz)]
+        for j in range(len(coeff)):
+            par = 1.0 - 2.0 * (
+                np.bitwise_count(state_grid & yz[j]) & np.uint64(1)
+            ).astype(np.float64)
+            h_dense[gxy[j]] += (coeff[j] * par).astype(np.float32)
+
+        e_diag = np.zeros((sa * sb + 1,), np.float64)
+        dyz = np.asarray(terms.diag_yz, np.uint64)
+        dco = np.asarray(terms.diag_coeff, np.float64)
+        flat_grid = state_grid.T.reshape(-1)  # [ra, rb] flat = rank order
+        for j in range(len(dco)):
+            par = 1.0 - 2.0 * (
+                np.bitwise_count(flat_grid & dyz[j]) & np.uint64(1)
+            ).astype(np.float64)
+            e_diag[:-1] += dco[j] * par
+
+        # pad the term axis so related Hamiltonians share compiled shapes
+        kxy = len(xy)
+        kp = -(-kxy // _CHUNK_TERMS) * _CHUNK_TERMS
+        if kp != kxy:
+            row_map = np.concatenate(
+                [row_map, np.zeros((kp - kxy, sb), np.int32)])
+            h_dense = np.concatenate(
+                [h_dense, np.zeros((kp - kxy, sb, sa), np.float32)])
+
+        return DenseTerms(
+            r1_idx=jnp.asarray(r1_idx),
+            row_map=jnp.asarray(row_map),
+            h_dense=jnp.asarray(h_dense),
+            e_diag=jnp.asarray(e_diag),
+            sa=sa, sb=sb,
+        )
+
+
+def _expand_qubits(shell_packed: np.ndarray, spin: int, s: int) -> np.ndarray:
+    """Shell-space bit pattern -> full qubit-space uint64 (alpha=even bits)."""
+    out = np.zeros(shell_packed.shape, np.uint64)
+    for j in range(s):
+        out |= ((shell_packed >> j) & 1).astype(np.uint64) << np.uint64(
+            2 * j + spin)
+    return out
+
+
+def dense_local_energy(
+    dn: DenseTerms,
+    rank_spec,
+    states: jnp.ndarray,    # (U,) uint64 sorted SENTINEL-padded buffer
+    log_amp: jnp.ndarray,   # (U,) f32
+    phase: jnp.ndarray,     # (U,) f32
+    n_valid: jnp.ndarray,   # () int32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """E_loc (re, im) f64 rows for the sampled buffer, dense-grid algorithm.
+
+    Semantics match ops/local_energy.local_energy: psi = 0 outside the
+    sampled set, rows past n_valid are garbage, and amplitude ratios beyond
+    e^30 are clipped (here per row rather than per pair: states that far
+    below the peak carry negligible sampling weight either way).
+    """
+    from naqs_tpu.ops.rank import rank_index
+
+    sa, sb = dn.sa, dn.sb
+    u = states.shape[0]
+    live = jnp.arange(u) < n_valid
+    la = jnp.where(live, log_amp, -jnp.inf)
+    ref = jnp.max(la)
+    w = jnp.where(live, jnp.exp(log_amp - ref), 0.0).astype(jnp.float32)
+    u_re = w * jnp.cos(phase).astype(jnp.float32)
+    u_im = w * jnp.sin(phase).astype(jnp.float32)
+
+    idx = rank_index(rank_spec, states)            # [0, sa*sb], sentinel incl
+    ra = jnp.minimum(idx // sb, sa)                # sentinel -> pad row
+    rb = jnp.where(idx >= sa * sb, 0, idx % sb)
+
+    # channel grid with zero pad row/column; pad rows scatter zeros
+    grid = jnp.zeros((sa + 1, sb + 1, 2), jnp.float32)
+    grid = grid.at[ra, rb].set(jnp.stack([u_re, u_im], axis=-1), mode="drop")
+
+    r1 = grid[dn.r1_idx]                           # (Ka, Sa, Sb+1, 2)
+    r1t = jnp.swapaxes(r1, 1, 2).reshape(-1, sa, 2)  # (Ka*(Sb+1), Sa, 2)
+
+    nc = dn.row_map.shape[0] // _CHUNK_TERMS
+
+    def body(acc, xs):
+        rm, h = xs                                  # (KC, Sb), (KC, Sb, Sa)
+        t = r1t[rm]                                 # (KC, Sb, Sa, 2)
+        return (acc[0] + jnp.einsum("kba,kba->ba", h, t[..., 0]),
+                acc[1] + jnp.einsum("kba,kba->ba", h, t[..., 1])), None
+
+    (n_re, n_im), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((sb, sa), jnp.float32), jnp.zeros((sb, sa), jnp.float32)),
+        (dn.row_map.reshape(nc, _CHUNK_TERMS, sb),
+         dn.h_dense.reshape(nc, _CHUNK_TERMS, sb, sa)),
+    )
+
+    # numerator at the sampled cells ([rb, ra] layout)
+    flat_t = jnp.where(idx >= sa * sb, sb * sa, rb * sa + ra)
+    n_pack = jnp.concatenate(
+        [n_re.reshape(-1, 1), n_im.reshape(-1, 1)], axis=1)
+    n_pack = jnp.concatenate(
+        [n_pack, jnp.zeros((1, 2), jnp.float32)], axis=0)
+    n_s = n_pack[flat_t]                            # (U, 2)
+
+    ratio = jnp.exp(jnp.clip(ref - log_amp, -30.0, 30.0)).astype(jnp.float32)
+    c, s_ = jnp.cos(phase).astype(jnp.float32), jnp.sin(phase).astype(jnp.float32)
+    e_re = (ratio * (n_s[:, 0] * c + n_s[:, 1] * s_)).astype(jnp.float64)
+    e_im = (ratio * (n_s[:, 1] * c - n_s[:, 0] * s_)).astype(jnp.float64)
+
+    e_diag = dn.e_diag[jnp.minimum(idx, sa * sb)]
+    return e_diag + e_re, e_im

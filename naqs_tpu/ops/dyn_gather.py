@@ -36,8 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 # table-size cap for the VMEM path: 2 channels * 4 B * T must fit VMEM
 # alongside the index/output blocks. 512k rows = 4 MB of tables.
 TABLE_MAX = int(os.environ.get("NAQS_TPU_PALLAS_TABLE_MAX", 1 << 19))
-# gather mode: "auto" (TPU + table fits -> pallas), "xla", "pallas"
-MODE = os.environ.get("NAQS_TPU_GATHER", "auto")
+# gather mode: "auto" (TPU + table fits -> pallas), "xla", "pallas".
+# NOTE: default is flipped to "auto" only after the kernel is validated on
+# the target Mosaic version (the axon service has crashed on some dynamic-
+# gather programs); "xla" keeps the engine on the plain-gather path.
+MODE = os.environ.get("NAQS_TPU_GATHER", "xla")
 
 _LANE = 128
 

@@ -36,6 +36,7 @@ ascending, padded with SENTINEL (all-ones) beyond `n_valid`.
 from __future__ import annotations
 
 import math
+import os as _os
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -45,7 +46,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from naqs_tpu.hamiltonian import PauliTerms
+from naqs_tpu.ops import dyn_gather
 from naqs_tpu.ops.rank import (
+    _MISS,
+    _MISS_THRESHOLD,
     RankSpec,
     build_value_table,
     lookup as rank_lookup,
@@ -77,17 +81,18 @@ class DeviceTerms:
     coeff: jnp.ndarray       # (K,) float32
     a_mat: jnp.ndarray | None  # (Kyz, Kxy) f32 dense coupling matrix, or None
     rank_spec: RankSpec | None = None
+    dense: "object | None" = None  # DenseTerms (ops/dense_engine), or None
 
     def tree_flatten(self):
         return (
             (self.diag_yz, self.diag_coeff, self.xy_unique, self.yz_unique,
-             self.gxy, self.gyz, self.coeff, self.a_mat),
+             self.gxy, self.gyz, self.coeff, self.a_mat, self.dense),
             self.rank_spec,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, rank_spec=aux)
+        return cls(*leaves[:8], rank_spec=aux, dense=leaves[8])
 
     @staticmethod
     def from_terms(
@@ -121,6 +126,13 @@ class DeviceTerms:
             np.add.at(a, (terms.gyz, terms.gxy), terms.coeff)
             a_mat = jnp.asarray(a)
         rank_spec = RankSpec.for_hilbert(hilbert) if hilbert is not None else None
+        dense = None
+        if (rank_spec is not None
+                and _os.environ.get("NAQS_TPU_DENSE", "1") != "0"):
+            from naqs_tpu.ops.dense_engine import DenseTerms
+
+            if DenseTerms.supported(terms, hilbert):
+                dense = DenseTerms.build(terms, hilbert)
         return DeviceTerms(
             diag_yz=jnp.asarray(pad(terms.diag_yz, kd), dtype=jnp.uint64),
             diag_coeff=jnp.asarray(pad(terms.diag_coeff, kd), dtype=jnp.float64),
@@ -131,6 +143,7 @@ class DeviceTerms:
             coeff=jnp.asarray(pad(terms.coeff, k), dtype=jnp.float32),
             a_mat=a_mat,
             rank_spec=rank_spec,
+            dense=dense,
         )
 
 
@@ -202,7 +215,13 @@ def _local_energy_chunk(
     e_diag = diagonal_energy(dt, s)
 
     coupled = s[:, None] ^ dt.xy_unique[None, :]            # (C, Kxy)
-    if dt.rank_spec is not None:
+    if dt.rank_spec is not None and isinstance(rec, tuple):
+        # Pallas path: rec = (la_tab, ph_tab) channel arrays, VMEM-resident
+        # tile-sweep gather (dyn_gather) instead of the XLA row gather
+        idx = rank_index(dt.rank_spec, coupled)
+        g_la, g_ph = dyn_gather.table_gather2(rec[0], rec[1], idx)
+        found = g_la > _MISS_THRESHOLD
+    elif dt.rank_spec is not None:
         found, g_la, g_ph = rank_lookup(dt.rank_spec, rec, coupled)
     else:
         found, g_la, g_ph = _lookup(states, rec, n_valid, coupled)
@@ -231,7 +250,15 @@ def local_energy(
     """Local energies (re, im) f64 for a sorted, SENTINEL-padded state buffer.
 
     Rows beyond n_valid produce garbage values; callers mask by weight.
+    Dispatches to the dense sector-grid engine (ops/dense_engine) when the
+    terms carry a DenseTerms program; the rank/sort membership engines
+    below handle everything else.
     """
+    if dt.dense is not None:
+        from naqs_tpu.ops.dense_engine import dense_local_energy
+
+        return dense_local_energy(
+            dt.dense, dt.rank_spec, states, log_amp, phase, n_valid)
     u = states.shape[0]
     c = chunk_rows or _chunk_rows(int(dt.xy_unique.shape[0]), int(dt.yz_unique.shape[0]))
     c = min(c, u)
@@ -242,6 +269,9 @@ def local_energy(
     ph_p = jnp.pad(phase, (0, pad))
     if dt.rank_spec is not None:
         rec = build_value_table(dt.rank_spec, states, log_amp, phase, n_valid)
+        if dyn_gather.pallas_gather_enabled(dt.rank_spec.size + 1):
+            rec = dyn_gather.pad_tables(
+                rec, dt.rank_spec.size, tile_w=2048, miss=_MISS)
     else:
         rec = pack_table(states, log_amp, phase)
 

@@ -231,8 +231,13 @@ def make_pre_train_step(cfg: NAQSConfig, optimizer):
     def step(params, opt_state, states, target_amp):
         def loss_fn(p):
             la, _ = log_psi(cfg, p, states)
-            amp = jnp.clip(jnp.exp(la), 1e-7, 1 - 1e-7)
-            bce = -(target_amp * jnp.log(amp) + (1 - target_amp) * jnp.log1p(-amp))
+            # BCE computed in LOG space: clipping exp(la) to [1e-7, ...]
+            # zeroes the gradient whenever the amplitude is small -- and a
+            # fresh deep NADE (e.g. 28 shells for cc-pVTZ) starts every
+            # state at exp(la) ~ e^-21, making the pretrain a no-op
+            la = jnp.minimum(la, -1e-7)
+            bce = -(target_amp * la
+                    + (1 - target_amp) * jnp.log1p(-jnp.exp(la)))
             return jnp.mean(bce)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
