@@ -105,10 +105,15 @@ def build_jobs():
     # --- phase "bases": H2 larger bases + H2O 6-31G full budget + H4O2
     jobs.append(("bases", _job("h2_631g", "H2_6-31G", 1500)))
     jobs.append(("bases", _job("h2_ccpvdz", "H2_cc-pvdz", 2500)))
-        # 56 qubits but only 784 valid states: exact-sampling training is the
-    # right tool (the sampled path pays 28-shell ancestral scans per step)
+    # 56 qubits but only 784 valid states: exact-sampling training is the
+    # right tool (the sampled path pays 28-shell ancestral scans per step).
+    # -pretrain_hf is essential at this depth: a fresh 28-shell NADE puts
+    # ~e^-21 on every state and plain VMC never finds the HF basin (round-2
+    # plateau at -0.398 Ha, ABOVE HF; with the log-space BCE fix the model
+    # starts at p(HF)=1, E=HF)
     jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pvtz", 1500,
-                               extra=["-exact_sampling"])))
+                               extra=["-exact_sampling",
+                                      "-pretrain_hf", "500"])))
     jobs.append(("bases", _job(
         "h2o_631g", "H2O_6-31G", 10000, samp=SAMP_BIG,
         extra=["-full_mask_psi"],

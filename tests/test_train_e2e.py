@@ -133,3 +133,28 @@ def test_warm_start_protocol_stays_finite():
         assert math.isfinite(out["e_loc"]), out
     # the sampler must not have collapsed onto a delta distribution
     assert out["n_unique"] > 10, out
+
+
+def test_pretrain_hf_moves_deep_models():
+    """Regression: the BCE pretrain loss must keep a gradient when the
+    target amplitude is tiny. A fresh deep NADE starts every state at
+    exp(la) ~ e^-(n_shells); the old clipped-BCE gradient was exactly zero
+    there (observed: 500 epochs on 28-shell cc-pVTZ changed nothing)."""
+    import jax.numpy as jnp
+
+    from naqs_tpu.models.nade import log_psi
+
+    mol = nq.load_molecule("LiH")  # 6 shells: exp(la_init) ~ 1e-4 < clip
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(
+        n_qubits=mol.n_qubits, sectors=h.sectors,
+        amp_hidden=(16,), phase_hidden=(16,),
+    )
+    tr = VMCTrainer(cfg, terms, h, TrainConfig(seed=3))
+    hf = jnp.asarray(np.array([h.hf_state()], dtype=np.uint64))
+    la0, _ = log_psi(cfg, tr.params, hf)
+    tr.pre_train_hf(150)
+    la1, _ = log_psi(cfg, tr.params, hf)
+    assert float(la1[0]) > float(la0[0]) + 1.0
+    assert float(la1[0]) > -0.5  # p(HF) ~ 1 after pretraining
