@@ -42,19 +42,32 @@ def main():
 
     # NOTE on timing: on the tunneled TPU, block_until_ready() returns
     # immediately (verified: a 2.7-TFLOP program "completes" in 37 us);
-    # only a host readback truly drains the in-order execution queue. Every
-    # timing below therefore ends with a data readback, amortized over the
-    # iteration count.
-    def timed(fn, n_iter=30):
-        np.asarray(fn()[0])  # warm-up + drain
+    # only a host readback truly drains the in-order execution queue, and
+    # each separate dispatch pays a tunnel floor of several ms. The bench
+    # therefore chains n_iter calls INSIDE one jitted program with a
+    # loop-carried data dependency (a += 0*E_loc, which XLA cannot CSE or
+    # hoist) and reads back once -- measuring sustained engine throughput
+    # the way the fused training step actually runs it (one dispatch/step).
+    def chained(n_valid, n_iter):
+        def fn(s, a, p):
+            def body(_, a_c):
+                e_re, e_im = local_energy(dt, s, a_c, p, n_valid)
+                bump = jnp.nan_to_num(e_re) + jnp.nan_to_num(e_im)
+                return a_c + 0.0 * bump.astype(jnp.float32)
+            return jax.lax.fori_loop(0, n_iter, body, a)
+        return jax.jit(fn)
+
+    def timed(fn, args, n_iter):
+        out = fn(*args)
+        np.asarray(out[:1])  # warm-up + drain
         t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = fn()
-        np.asarray(out[0][:1])  # drain: device executes in order
+        out = fn(*args)
+        np.asarray(out[:1])
         return (time.perf_counter() - t0) / n_iter
 
-    f = jax.jit(lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(M)))
-    dt_dev = timed(lambda: f(states, la, ph))
+    n_it = 20
+    f = chained(jnp.int32(M), n_it)
+    dt_dev = timed(f, (states, la, ph), n_it)
     rate_dev = M / dt_dev
 
     # production-window point (reference unique-sample clamp [5e4, 1e5],
@@ -69,22 +82,25 @@ def main():
     la2[:m_fill] = rng.normal(scale=1.0, size=m_fill) - 3.0
     ph2 = np.zeros(M2, np.float32)
     ph2[:m_fill] = rng.uniform(0, 2 * np.pi, size=m_fill)
-    f2 = jax.jit(
-        lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(m_fill))
-    )
+    f2 = chained(jnp.int32(m_fill), 10)
     s2, a2, p2 = jnp.asarray(states2_np), jnp.asarray(la2), jnp.asarray(ph2)
-    rate_dev2 = M2 / timed(lambda: f2(s2, a2, p2), n_iter=10)
+    rate_dev2 = M2 / timed(f2, (s2, a2, p2), 10)
 
-    # reference-equivalent CPU baseline (numpy, full vectorization)
+    # reference-equivalent CPU baseline (numpy, full vectorization);
+    # best of 3 so host-load noise only ever flatters the baseline
     m_cpu = 1024
     psi = np.exp(log_amp_np[:m_cpu] + 1j * phase_np[:m_cpu])
-    t0 = time.perf_counter()
-    e_np = local_energy_np(terms, states_np[:m_cpu], psi)
-    dt_cpu = time.perf_counter() - t0
+    dt_cpu = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        e_np = local_energy_np(terms, states_np[:m_cpu], psi)
+        dt_cpu = min(dt_cpu, time.perf_counter() - t0)
     rate_cpu = m_cpu / dt_cpu
 
     # correctness cross-check on the overlapping prefix
-    e_re, e_im = f(states, la, ph)
+    f_once = jax.jit(
+        lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(M)))
+    e_re, e_im = f_once(states, la, ph)
     psi_full = np.exp(log_amp_np + 1j * phase_np)
     e_np_full = local_energy_np(terms, states_np, psi_full)
     err = float(np.max(np.abs(np.asarray(e_re) - e_np_full.real)))

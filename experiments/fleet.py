@@ -69,9 +69,17 @@ def build_jobs():
     # window (measured 2.06 s/step at unq ~77k on the v5e — a from-scratch
     # 10k-step production-window run costs ~6 h/system and does not fit the
     # round alongside the other suites).
+    # Continuation postmortem: warm-starting the round-2 models at the
+    # production window does NOT recover chemical accuracy -- round 2's
+    # 16384-unique cap taught the model to concentrate (support ~11k
+    # states; solve_h on that support still misses ~10 mHa, so the energy
+    # lives OUTSIDE it). H2O 6-31G therefore trains FRESH with the
+    # production window for the full reference budget, like
+    # larger_basis_sets.sh does. H4O2's round-2 support is broader (40k,
+    # gap only 2.3 mHa), so its cheaper continuation stays.
     jobs.append(("bases_prod", _job(
-        "h2o_631g_prod", "H2O_6-31G", 14000, samp=SAMP_PROD,
-        extra=["-full_mask_psi", "-l", "data/fleet/h2o_631g"],
+        "h2o_631g_fresh", "H2O_6-31G", 10000, samp=SAMP_PROD,
+        extra=["-full_mask_psi"],
     )))
     jobs.append(("bases_prod", _job(
         "h4o2_prod", "H4O2", 9000, samp=SAMP_PROD,
@@ -184,9 +192,10 @@ def build_jobs():
     return jobs
 
 
-# execution priority for the round (VERDICT ranking); unknown phases run last
-PHASE_ORDER = ["bases_prod", "n2fix", "zoo", "bases", "n2curve", "ablations",
-               "optimizers", "carleo", "seeds", "seeds_n2"]
+# execution priority for the round (VERDICT ranking); unknown phases run
+# last. "bases" (h2_ccpvtz retry) leads: minutes of chip for a whole row.
+PHASE_ORDER = ["bases", "bases_prod", "carleo", "n2fix", "seeds", "zoo",
+               "n2curve", "ablations", "optimizers", "seeds_n2"]
 
 
 def job_done(out_dir: str) -> bool:

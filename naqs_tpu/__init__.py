@@ -1,13 +1,18 @@
 """naqs_tpu: a TPU-native neural autoregressive quantum states (NAQS) framework.
 
-A from-scratch JAX/XLA/Pallas re-design of variational Monte Carlo for ab
-initio quantum chemistry with autoregressive neural wavefunctions (the
-capability set of tomdbar/naqs-for-quantum-chemistry, re-architected for TPU).
+A from-scratch JAX/XLA re-design of variational Monte Carlo for ab initio
+quantum chemistry with autoregressive neural wavefunctions (the capability
+set of tomdbar/naqs-for-quantum-chemistry, re-architected for TPU), with an
+optional Pallas kernel for the membership-lookup hot op (ops/dyn_gather).
 
 Design pillars (vs. the reference PyTorch+Cython implementation):
   * States are packed uint64 bitstrings; all hot math is bitwise/XLA-fused.
   * The Jordan-Wigner local-energy engine is gather/parity based — no
-    materialized sparse Hamiltonian matrix on the hot path.
+    materialized sparse Hamiltonian matrix on the hot path. Small sectors
+    run the dense sector-grid engine (ops/dense_engine): coupled-state
+    lookups become STATIC permutation row-gathers over the full
+    combinadic grid, and the per-mask Hamiltonian values precompute into
+    one static tensor.
   * The autoregressive sampler is a jitted ``lax.scan`` over orbital shells
     with fixed-capacity unique-state buffers (no ragged host loops).
   * All per-shell conditionals evaluate as one stacked (shell-vmapped)

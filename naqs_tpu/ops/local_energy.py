@@ -129,10 +129,12 @@ class DeviceTerms:
         dense = None
         if (rank_spec is not None
                 and _os.environ.get("NAQS_TPU_DENSE", "1") != "0"):
-            from naqs_tpu.ops.dense_engine import DenseTerms
+            from naqs_tpu.ops.dense_engine import DenseTerms, FactorTerms
 
             if DenseTerms.supported(terms, hilbert):
                 dense = DenseTerms.build(terms, hilbert)
+            elif FactorTerms.supported(terms, hilbert):
+                dense = FactorTerms.build(terms, hilbert)
         return DeviceTerms(
             diag_yz=jnp.asarray(pad(terms.diag_yz, kd), dtype=jnp.uint64),
             diag_coeff=jnp.asarray(pad(terms.diag_coeff, kd), dtype=jnp.float64),
@@ -255,10 +257,12 @@ def local_energy(
     below handle everything else.
     """
     if dt.dense is not None:
-        from naqs_tpu.ops.dense_engine import dense_local_energy
+        from naqs_tpu.ops.dense_engine import (
+            FactorTerms, dense_local_energy, factored_local_energy)
 
-        return dense_local_energy(
-            dt.dense, dt.rank_spec, states, log_amp, phase, n_valid)
+        impl = (factored_local_energy
+                if isinstance(dt.dense, FactorTerms) else dense_local_energy)
+        return impl(dt.dense, dt.rank_spec, states, log_amp, phase, n_valid)
     u = states.shape[0]
     c = chunk_rows or _chunk_rows(int(dt.xy_unique.shape[0]), int(dt.yz_unique.shape[0]))
     c = min(c, u)

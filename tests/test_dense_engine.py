@@ -90,3 +90,30 @@ def test_dense_agrees_with_rank_engine():
         np.asarray(e1_re)[:m], np.asarray(e2_re)[:m], atol=2e-4)
     np.testing.assert_allclose(
         np.asarray(e1_im)[:m], np.asarray(e2_im)[:m], atol=2e-4)
+
+
+@pytest.mark.parametrize("name,m", [("LiH", 80), ("H2O", 250)])
+def test_factored_matches_numpy(name, m):
+    """FactorTerms is built for mid-size spaces, but the code path is
+    size-independent -- verify it on small molecules against the oracle."""
+    from naqs_tpu.ops.dense_engine import FactorTerms, factored_local_energy
+
+    mol, h, terms, dn, spec = _setup(name)
+    assert FactorTerms.supported(terms, h)
+    fn = FactorTerms.build(terms, h)
+    rng = np.random.default_rng(7)
+    sub = np.sort(rng.choice(h.size, size=m, replace=False))
+    cap = m + 12
+    buf = np.full((cap,), np.uint64(2**64 - 1), np.uint64)
+    buf[:m] = h.basis[sub]
+    la = np.zeros(cap, np.float32)
+    la[:m] = rng.normal(size=m) - 1.0
+    ph = np.zeros(cap, np.float32)
+    ph[:m] = rng.uniform(0, 2 * np.pi, size=m)
+    e_re, e_im = factored_local_energy(
+        fn, spec, jnp.asarray(buf), jnp.asarray(la), jnp.asarray(ph),
+        jnp.int32(m))
+    psi = np.exp(la[:m].astype(np.float64) + 1j * ph[:m].astype(np.float64))
+    e_np = local_energy_np(terms, buf[:m], psi)
+    np.testing.assert_allclose(np.asarray(e_re)[:m], e_np.real, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(e_im)[:m], e_np.imag, atol=2e-4)
