@@ -119,9 +119,13 @@ def build_jobs():
     # ~e^-21 on every state and plain VMC never finds the HF basin (round-2
     # plateau at -0.398 Ha, ABOVE HF; with the log-space BCE fix the model
     # starts at p(HF)=1, E=HF)
-    jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pvtz", 1500,
+    # ...and exact-mode training alone stalls ~5 mHa short of chemical
+    # accuracy around step 1400; the solve_H re-target (exact over the
+    # 784-state basis) + polish closes it
+    jobs.append(("bases", _job("h2_ccpvtz", "H2_cc-pvtz", 4500,
                                extra=["-exact_sampling",
-                                      "-pretrain_hf", "500"])))
+                                      "-pretrain_hf", "500",
+                                      "-ws_solve_h", "2000"])))
     jobs.append(("bases", _job(
         "h2o_631g", "H2O_6-31G", 10000, samp=SAMP_BIG,
         extra=["-full_mask_psi"],

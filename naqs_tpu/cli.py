@@ -303,7 +303,19 @@ def run(args=None) -> dict:
         # stays where a non-profiled run would put it
         n_remaining = max(args.n_train - trainer.n_steps, 0)
         if args.exact_sampling:
-            trainer.run_exact(n_remaining, output_freq=args.output_freq)
+            if args.ws_solve_h > 0 and trainer.n_steps < args.ws_solve_h:
+                trainer.run_exact(args.ws_solve_h - trainer.n_steps,
+                                  output_freq=args.output_freq,
+                                  save_freq=save_freq)
+                # exact mode has no sampled counter; solve over the full
+                # basis (exact mode implies it is enumerable)
+                e_sub, n_sub = trainer.warm_start_from_solve_h(
+                    states=hilbert.basis[: 20000])
+                print(f"solve_H warm start (exact mode): E0={e_sub:.6f} Ha "
+                      f"over {n_sub} basis states", flush=True)
+            trainer.run_exact(max(args.n_train - trainer.n_steps, 0),
+                              output_freq=args.output_freq,
+                              save_freq=save_freq)
         elif args.sample_dP > 0:
             trainer.run_density(n_remaining, output_freq=args.output_freq,
                                 d_p=args.sample_dP)

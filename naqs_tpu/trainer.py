@@ -640,7 +640,8 @@ class VMCTrainer:
         return self
 
     def run_exact(self, n_epochs: int, output_freq: int = 25,
-                  batch_size: Optional[int] = None):
+                  batch_size: Optional[int] = None,
+                  save_freq: Optional[int] = None):
         """Train with exact |psi|^2 weights over the entire restricted basis
         (reference ExactSamplingOptimizer, energy.py:540-729). With
         `batch_size`, each step uses a random minibatch of basis states
@@ -681,6 +682,8 @@ class VMCTrainer:
             if (self.n_steps % output_freq == 0) or self.n_steps == 1:
                 print(f"step {self.n_steps}: <E>={e:.6f} "
                       f"var={float(metrics['e_loc_var']):.6f}", flush=True)
+            if save_freq and self.n_steps % save_freq == 0:
+                self.save()
         return self
 
     # -- warm starts
@@ -750,7 +753,8 @@ class VMCTrainer:
 
     def warm_start_from_solve_h(self, n_epochs: int = 500, n_samps: Optional[float] = None,
                                 k_max: int = 10000, lr: float = 2e-3,
-                                select_min: float = 1e-4):
+                                select_min: float = 1e-4,
+                                states: Optional[np.ndarray] = None):
         """Escape optimization traps by re-targeting the model at the ground
         state of H restricted to the currently-sampled subspace: sample ->
         diagonalize (host, native C++ assembly) -> supervised pre-train to
@@ -766,7 +770,11 @@ class VMCTrainer:
         """
         from scipy.sparse.linalg import eigsh
 
-        if self.sampled_counter:
+        if states is not None:
+            # explicit subspace (e.g. the full basis in exact-sampling
+            # mode, where no sampled counter exists)
+            states = np.sort(np.asarray(states, dtype=np.uint64))
+        elif self.sampled_counter:
             keys = np.fromiter(self.sampled_counter.keys(), dtype=np.uint64,
                                count=len(self.sampled_counter))
             vals = np.fromiter(self.sampled_counter.values(), dtype=np.float64,
