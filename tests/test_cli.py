@@ -14,9 +14,14 @@ def _run_cli(args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # -platform cpu: the env var alone is overridden by the axon
+    # sitecustomize, which would silently put these runs on the tunneled
+    # TPU (a ~45 s remote compile per program)
     return subprocess.run(
-        [sys.executable, "-m", "naqs_tpu.cli", *args],
-        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+        [sys.executable, "-m", "naqs_tpu.cli", "-platform", "cpu", *args],
+        # generous: the 1-core CI host often runs a training fleet and the
+        # axon remote-compile relay concurrently with the test suite
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=2700,
     )
 
 
