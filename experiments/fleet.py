@@ -101,10 +101,14 @@ def build_jobs():
     ]
     for mol, n, samp in zoo:
         jobs.append(("zoo", _job(f"zoo_{mol}", mol, n, samp=samp)))
-    # Li2O's 41.4M-state rank program hangs the axon compiler; run it on
-    # the sort-based fallback engine (NAQS_TPU_RANK_MAX below its size)
-    jobs.append(("zoo", _job("zoo_Li2O", "Li2O", 6000, samp=SAMP_BIG,
-                             env={"NAQS_TPU_RANK_MAX": str(1 << 24)})))
+    # Li2O (30 qubits, 41.4M restricted states): the round-2 "rank program
+    # hangs the compiler" diagnosis was stale — after the constant-folding
+    # fix the axon bisect probe (scratch/probe_li2o_axon.py) measured the
+    # full rank-path pipeline compiling in ~5 min and running 1.0 s/step
+    # (sort fallback: 1.25 s/step), with the ancestral-sampler compile
+    # (~24 min, sampler cache now warm) the only long pole. Budget trimmed
+    # to fit the round window; VMC+FCI closes the rest.
+    jobs.append(("zoo", _job("zoo_Li2O", "Li2O", 4000, samp=SAMP_BIG)))
     # C2 sto-3g is strongly multireference (FCI-CCSD gap 16 mHa): give it
     # the solve_H warm-start protocol too
     jobs.append(("zoo", _job("zoo_C2", "C2", 6000,

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from naqs_tpu.models.nade import NAQSConfig, log_psi_taps, make_zero_eps
+from naqs_tpu.models.nade import (
+    NAQSConfig, log_psi, log_psi_taps, make_zero_eps)
 from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
 
 
@@ -89,43 +90,45 @@ def _precondition(fac, gw, gb, damping):
     return vw, vb
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def kfac_update(
+def kfac_apply(
     cfg: NAQSConfig,
     params,
     kstate: dict,
-    dt: DeviceTerms,
-    batch,
+    states,
+    w,
+    d_re,
+    d_im,
     lr,
-    damping=1e-2,
-    decay=0.95,
-    kl_clip=1e-3,
+    damping,
+    decay,
+    kl_clip,
+    psum=lambda x: x,
 ):
-    """One KFAC VMC step. Returns (params, kstate, metrics)."""
+    """Shared KFAC math given centred local-energy deviations.
+
+    `w` must be the GLOBALLY normalized sample weights (sum over all data-
+    parallel shards == 1) and `psum` the cross-shard sum (identity on one
+    device): factor moments, parameter gradients and the KL-clip inner
+    product are `psum`-reduced so every shard applies the identical update.
+    Returns (new_params, new_kstate, loss).
+    """
     lr = jnp.float32(lr)
-    cap = batch.states.shape[0]
-    live = jnp.arange(cap) < batch.n_unique
+    cap = states.shape[0]
     eps0 = make_zero_eps(cfg, params, cap)
+    d_re = jax.lax.stop_gradient(d_re).astype(jnp.float32)
+    d_im = jax.lax.stop_gradient(d_im).astype(jnp.float32)
+    wf = w.astype(jnp.float32)
 
     def loss_fn(p, eps):
-        (la, ph), taps = log_psi_taps(cfg, p, batch.states, eps)
-        la_d, ph_d = jax.lax.stop_gradient((la, ph))
-        w = jnp.where(live, batch.counts, 0.0)
-        w = w / jnp.sum(w)
-        e_re, e_im = local_energy(dt, batch.states, la_d, ph_d, batch.n_unique)
-        e_re = jnp.where(live, e_re, 0.0)
-        e_im = jnp.where(live, e_im, 0.0)
-        e_mean = jnp.sum(w * e_re)
-        e_var = jnp.sum(w * (e_re - e_mean) ** 2)
-        d_re = jax.lax.stop_gradient(e_re - e_mean).astype(jnp.float32)
-        d_im = jax.lax.stop_gradient(e_im - jnp.sum(w * e_im)).astype(jnp.float32)
-        wf = w.astype(jnp.float32)
+        (la, ph), taps = log_psi_taps(cfg, p, states, eps)
         loss = 2.0 * jnp.sum(wf * (la * d_re + ph * d_im))
-        return loss, (taps, w, e_mean, e_var)
+        return loss, taps
 
-    (loss, (taps, w, e_mean, e_var)), (g_params, g_eps) = jax.value_and_grad(
+    (loss, taps), (g_params, g_eps) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(params, eps0)
+    loss = psum(loss)
+    g_params = jax.tree_util.tree_map(psum, g_params)
 
     step = kstate["step"] + 1
     # bias-corrected EMA: effective average over min(step, 1/(1-decay)) steps
@@ -143,6 +146,7 @@ def kfac_update(
             a = taps[name][li]
             g = g_eps[name][li]
             A, G = _factor_stats(a, g, w)
+            A, G = psum(A), psum(G)
             fac = kstate[name][li]
             A_ema = decay * fac["A"] + (1.0 - decay) * A
             G_ema = decay * fac["G"] + (1.0 - decay) * G
@@ -174,5 +178,37 @@ def kfac_update(
             lambda p, g: p - scale * g, params[name], g_params[name]
         )
 
-    metrics = {"e_loc": e_mean, "e_loc_var": e_var, "loss": loss, "nu": nu}
+    return new_params, new_state, {"loss": loss, "nu": nu}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def kfac_update(
+    cfg: NAQSConfig,
+    params,
+    kstate: dict,
+    dt: DeviceTerms,
+    batch,
+    lr,
+    damping=1e-2,
+    decay=0.95,
+    kl_clip=1e-3,
+):
+    """One single-device KFAC VMC step. Returns (params, kstate, metrics)."""
+    cap = batch.states.shape[0]
+    live = jnp.arange(cap) < batch.n_unique
+    la, ph = log_psi(cfg, params, batch.states)
+    la, ph = jax.lax.stop_gradient((la, ph))
+    w = jnp.where(live, batch.counts, 0.0)
+    w = w / jnp.sum(w)
+    e_re, e_im = local_energy(dt, batch.states, la, ph, batch.n_unique)
+    e_re = jnp.where(live, e_re, 0.0)
+    e_im = jnp.where(live, e_im, 0.0)
+    e_mean = jnp.sum(w * e_re)
+    e_var = jnp.sum(w * (e_re - e_mean) ** 2)
+    new_params, new_state, m = kfac_apply(
+        cfg, params, kstate, batch.states, w,
+        e_re - e_mean, e_im - jnp.sum(w * e_im),
+        lr, damping, decay, kl_clip,
+    )
+    metrics = {"e_loc": e_mean, "e_loc_var": e_var, **m}
     return new_params, new_state, metrics

@@ -157,6 +157,59 @@ def make_sharded_train_step(
     return jax.jit(sharded)
 
 
+def make_sharded_kfac_step(
+    cfg: NAQSConfig,
+    mesh: Mesh,
+    capacity_per_device: int,
+):
+    """Data-parallel KFAC step (kfac.py, psum'd Kronecker factors).
+
+    Returns jitted step(params, kstate, dt, keys, n_samples, lr, damping,
+    decay, kl_clip) -> (params, kstate, metrics). Factor second moments
+    A/G, parameter gradients and the KL-clip inner product are psum'd over
+    the mesh, so every chip computes the identical preconditioned update;
+    the running-average factor state stays replicated bit-for-bit.
+    """
+    from naqs_tpu.kfac import kfac_apply
+
+    n_dev = mesh.devices.size
+
+    def _device_step(params, kstate, dt: DeviceTerms, keys, n_samples,
+                     lr, damping, decay, kl_clip):
+        batch, live, w, e_re, e_im, stats, record = _sample_and_energy(
+            cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device
+        )
+        e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
+        new_params, new_kstate, m = kfac_apply(
+            cfg, params, kstate, batch.states, w,
+            e_re - e_mean, e_im - e_mean_im,
+            lr, damping, decay, kl_clip,
+            psum=lambda t: jax.lax.psum(t, "dp"),
+        )
+        params = _keep_unless(overflow, new_params, params)
+        kstate = _keep_unless(overflow, new_kstate, kstate)
+        metrics = {
+            "e_loc": e_mean,
+            "e_loc_var": e_var,
+            "n_unique": n_unique_global,
+            "overflow": overflow,
+            "nu": m["nu"],
+            "rec_states": record[0],
+            "rec_counts": record[1],
+            "rec_n_valid": record[2],
+        }
+        return params, kstate, metrics
+
+    sharded = jax.shard_map(
+        _device_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("dp"), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_sr_step(
     cfg: NAQSConfig,
     mesh: Mesh,

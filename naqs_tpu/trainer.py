@@ -281,15 +281,11 @@ class VMCTrainer:
         self._sharded_sr_step = None
         if train_cfg.use_sr and train_cfg.use_kfac:
             raise ValueError("use_sr and use_kfac are mutually exclusive")
+        self._sharded_kfac_step = None
         if self.n_devices > 1:
-            if train_cfg.use_kfac:
-                raise ValueError(
-                    "use_kfac with n_devices > 1 is not implemented: the "
-                    "sharded step would silently train plain Adam. Run KFAC "
-                    "single-device."
-                )
             from naqs_tpu.parallel import (
-                make_mesh, make_sharded_sr_step, make_sharded_train_step,
+                make_mesh, make_sharded_kfac_step, make_sharded_sr_step,
+                make_sharded_train_step,
             )
 
             mesh = make_mesh(jax.devices()[: self.n_devices])
@@ -297,6 +293,10 @@ class VMCTrainer:
             if train_cfg.use_sr:
                 self._sharded_sr_step = make_sharded_sr_step(
                     model_cfg, mesh, cap_per_dev, cg_iters=train_cfg.sr_cg_iters
+                )
+            elif train_cfg.use_kfac:
+                self._sharded_kfac_step = make_sharded_kfac_step(
+                    model_cfg, mesh, cap_per_dev
                 )
             else:
                 self._sharded_step = make_sharded_train_step(
@@ -454,6 +454,21 @@ class VMCTrainer:
                     jnp.float64(self._current_lr()),
                     jnp.float64(self.tc.sr_damping),
                 )
+            elif self._sharded_kfac_step is not None:
+                from naqs_tpu.kfac import kfac_init
+
+                if self.kfac_state is None:
+                    self.kfac_state = kfac_init(self.params)
+                self.params, self.kfac_state, metrics = (
+                    self._sharded_kfac_step(
+                        self.params, self.kfac_state, self.dt, keys,
+                        jnp.float64(self.n_samples),
+                        jnp.float32(self._current_lr()),
+                        jnp.float32(self.tc.kfac_damping),
+                        jnp.float32(self.tc.kfac_decay),
+                        jnp.float32(self.tc.kfac_kl_clip),
+                    )
+                )
             else:
                 self.params, self.opt_state, metrics = self._sharded_step(
                     self.params, self.opt_state, self.dt, keys,
@@ -503,7 +518,9 @@ class VMCTrainer:
         return self.tc.lr if self.n_steps < half else self.tc.lr_final
 
     def step(self) -> dict:
-        if self._sharded_step is not None or self._sharded_sr_step is not None:
+        if (self._sharded_step is not None
+                or self._sharded_sr_step is not None
+                or self._sharded_kfac_step is not None):
             return self._step_sharded()
         if not (self.tc.use_sr or self.tc.use_kfac):
             return self._step_fused()
