@@ -1,0 +1,176 @@
+"""STO-3G basis built from first principles (Hehre-Stewart-Pople fit).
+
+The reference pipeline gets its basis implicitly through Psi4
+(notebooks/generate_molecular_data_and_baselines.ipynb; experiments/bash/
+psi4/*.dat all specify ``basis sto-3g``). Psi4 is not available here, so
+instead of transcribing basis-set tables this module RECONSTRUCTS STO-3G
+the way it was originally defined (Hehre, Stewart, Pople, J. Chem. Phys.
+51, 2657 (1969)): least-squares expand normalized Slater-type orbitals of
+exponent zeta = 1 in N=3 Gaussians — sharing one exponent set between the
+2s/2p (and 3s/3p) shells — then scale the universal exponents by zeta^2
+per atom. The only tabulated inputs are the standard per-element Slater
+exponents; the expansion itself is recomputed (and checked in
+tests/test_chem.py against the universally published 1s values).
+
+The fit maximizes the overlap <STO_nl | sum_i c_i g_i>; for fixed
+exponents the optimal coefficients are the generalized-eigenvector
+solution c ~ S^-1 s, so only the 3 shared exponents are optimized
+numerically (Nelder-Mead in log space).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import factorial
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+from scipy.integrate import quad
+from scipy.optimize import minimize
+
+from naqs_tpu.chem.integrals import ContractedGaussian
+
+# Standard STO-3G Slater exponents per element and shell (the "standard
+# molecular set" of Hehre-Stewart-Pople; third row from Hehre, Ditchfield,
+# Stewart, Pople, J. Chem. Phys. 52, 2769 (1970)). These are the ONLY
+# tabulated constants; tests validate every element used by the molecule
+# zoo against the stored Psi4 HF/FCI baselines.
+ZETAS: Dict[str, Tuple[float, ...]] = {
+    "H": (1.24,),
+    "He": (1.69,),
+    "Li": (2.69, 0.80),
+    "Be": (3.68, 1.15),
+    "B": (4.68, 1.50),
+    "C": (5.67, 1.72),
+    "N": (6.67, 1.95),
+    "O": (7.66, 2.25),
+    "F": (8.65, 2.55),
+    "Na": (10.61, 3.48, 1.75),
+    "Mg": (11.59, 3.72, 1.70),
+    "Al": (12.56, 4.17, 1.70),
+    "Si": (13.53, 4.66, 1.75),
+    "P": (14.50, 5.16, 1.90),
+    "S": (15.47, 5.64, 2.05),
+    "Cl": (16.43, 6.26, 2.10),
+}
+
+ATOMIC_NUMBER = {
+    "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
+    "F": 9, "Ne": 10, "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
+    "S": 16, "Cl": 17,
+}
+
+
+def _sto_radial(n: int, r: np.ndarray) -> np.ndarray:
+    """Normalized Slater radial function R_n(r) at zeta = 1:
+    R_n = (2)^{n+1/2} / sqrt((2n)!) * r^{n-1} e^{-r}."""
+    return 2.0 ** (n + 0.5) / np.sqrt(factorial(2 * n)) * r ** (n - 1) * np.exp(-r)
+
+
+def _gauss_radial(l: int, alpha: float, r: np.ndarray) -> np.ndarray:
+    """Normalized radial part of an l-type Gaussian: N r^l e^{-a r^2} with
+    int N^2 r^{2l} e^{-2 a r^2} r^2 dr = 1."""
+    # int_0^inf r^{2l+2} e^{-2 a r^2} dr = (2l+1)!! sqrt(pi) / (2^{l+2} (2a)^{l+1} sqrt(2a))
+    dfact = 1.0
+    for k in range(2 * l + 1, 0, -2):
+        dfact *= k
+    mom = dfact * np.sqrt(np.pi) / (2 ** (l + 2) * (2 * alpha) ** (l + 1)
+                                    * np.sqrt(2 * alpha))
+    return r ** l * np.exp(-alpha * r * r) / np.sqrt(mom)
+
+
+def _sto_gauss_overlap(n: int, l: int, alpha: float) -> float:
+    """<R_n STO | R_l gaussian> radial overlap (same angular part)."""
+    val, _ = quad(
+        lambda r: _sto_radial(n, r) * _gauss_radial(l, alpha, r) * r * r,
+        0.0, 40.0, limit=200,
+    )
+    return val
+
+
+def _shell_overlap_and_coeffs(n: int, l: int, alphas: np.ndarray):
+    """Best-coefficient overlap of STO_nl with span{g_l(alpha_i)}."""
+    m = len(alphas)
+    s_vec = np.array([_sto_gauss_overlap(n, l, a) for a in alphas])
+    s_mat = np.empty((m, m))
+    for i in range(m):
+        for j in range(m):
+            # overlap of two normalized same-l gaussians: analytic
+            ai, aj = alphas[i], alphas[j]
+            s_mat[i, j] = (2.0 * np.sqrt(ai * aj) / (ai + aj)) ** (l + 1.5)
+    c = np.linalg.solve(s_mat, s_vec)
+    ov = float(np.sqrt(s_vec @ c))
+    return ov, c / ov  # normalized contraction
+
+
+@lru_cache(maxsize=None)
+def universal_expansion(shell: str) -> Tuple[Tuple[float, ...], Dict[str, Tuple[float, ...]]]:
+    """(exponents, {orbital: coeffs}) for shell in {"1s", "2sp", "3sp"},
+    fit at zeta = 1. sp shells share exponents between s and p (the
+    defining STO-3G constraint), maximizing the SUM of the two overlaps.
+    """
+    if shell == "1s":
+        parts = [(1, 0, "1s")]
+        x0 = np.log([2.2, 0.4, 0.1])
+    elif shell == "2sp":
+        parts = [(2, 0, "2s"), (2, 1, "2p")]
+        x0 = np.log([1.0, 0.23, 0.075])
+    elif shell == "3sp":
+        parts = [(3, 0, "3s"), (3, 1, "3p")]
+        x0 = np.log([0.45, 0.12, 0.05])
+    else:
+        raise ValueError(shell)
+
+    def neg_total_overlap(logalphas):
+        alphas = np.exp(logalphas)
+        tot = 0.0
+        for n, l, _ in parts:
+            ov, _c = _shell_overlap_and_coeffs(n, l, alphas)
+            tot += ov
+        return -tot
+
+    res = minimize(neg_total_overlap, x0, method="Nelder-Mead",
+                   options={"xatol": 1e-10, "fatol": 1e-12, "maxiter": 4000})
+    alphas = np.exp(res.x)
+    order = np.argsort(-alphas)  # descending, the conventional listing
+    alphas = alphas[order]
+    coeffs = {}
+    for n, l, name in parts:
+        _ov, c = _shell_overlap_and_coeffs(n, l, alphas)
+        coeffs[name] = tuple(float(v) for v in c)
+    return tuple(float(a) for a in alphas), coeffs
+
+
+_SHELL_OF_INDEX = {0: "1s", 1: "2sp", 2: "3sp"}
+
+
+def element_shells(symbol: str) -> List[Tuple[str, float]]:
+    """[(shell_name, zeta)] for the element's occupied STO-3G shells."""
+    zetas = ZETAS[symbol]
+    return [(_SHELL_OF_INDEX[i], z) for i, z in enumerate(zetas)]
+
+
+def build_atom_basis(symbol: str, center: np.ndarray) -> List[ContractedGaussian]:
+    """STO-3G AO functions for one atom: s function per shell + p triple
+    for sp shells, in the conventional (s, px, py, pz) order."""
+    out: List[ContractedGaussian] = []
+    for shell, zeta in element_shells(symbol):
+        alphas_u, coeffs = universal_expansion(shell)
+        alphas = np.asarray(alphas_u) * zeta**2
+        s_name = shell[0] + "s"  # "1s" -> "1s", "2sp" -> "2s"
+        out.append(ContractedGaussian(center, (0, 0, 0), alphas,
+                                      np.asarray(coeffs[s_name])))
+        if shell.endswith("sp"):
+            p_name = shell[0] + "p"
+            for lmn in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+                out.append(ContractedGaussian(center, lmn, alphas,
+                                              np.asarray(coeffs[p_name])))
+    return out
+
+
+def build_basis(symbols: Sequence[str], centers_bohr: np.ndarray
+                ) -> List[ContractedGaussian]:
+    basis: List[ContractedGaussian] = []
+    for sym, cen in zip(symbols, centers_bohr):
+        basis.extend(build_atom_basis(sym, np.asarray(cen)))
+    return basis

@@ -1,0 +1,179 @@
+"""Restricted Hartree-Fock + MO integrals (OpenFermion conventions).
+
+Together with chem/integrals.py and chem/basis.py this replaces the Psi4
+solve in the reference's data notebook (notebooks/
+generate_molecular_data_and_baselines.ipynb): given a geometry it produces
+the canonical RHF orbitals, the MO-basis one_body_integrals /
+two_body_integrals in exactly the layout the stored hdf5 files use
+(physicist index order h2[p,q,r,s] = (ps|qr) in chemist notation, matching
+src/utils/system.py's MolecularData consumer), the HF and MP2 energies,
+and — through naqs_tpu.jw + the existing exact-diagonalization machinery —
+the FCI baseline.
+
+Host-side NumPy: one-time offline generation, seconds per sto-3g molecule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from naqs_tpu.chem.basis import ATOMIC_NUMBER, build_basis
+from naqs_tpu.chem.integrals import (
+    ANGSTROM_TO_BOHR, build_integrals, nuclear_repulsion)
+
+
+@dataclass
+class RHFResult:
+    e_hf: float
+    e_nuc: float
+    mo_coeff: np.ndarray        # (n_ao, n_mo) columns = canonical orbitals
+    orbital_energies: np.ndarray
+    one_body_mo: np.ndarray     # (n_mo, n_mo) spatial h_pq
+    two_body_mo: np.ndarray     # (n_mo,)*4, h2[p,q,r,s] = (ps|qr)_chem
+    e_mp2: float
+    n_electrons: int
+
+
+def _scf_loop(h_core, g, x, s_mat, n_occ, f0, max_iter, conv, diis_len,
+              n_damped=12):
+    """One SCF attempt from initial Fock f0: damped warm-up then DIIS.
+    Returns (e_el, dm) or None if not converged."""
+
+    def fock(dm):
+        j = np.einsum("pqrs,rs->pq", g, dm)
+        k = np.einsum("prqs,rs->pq", g, dm)
+        return h_core + j - 0.5 * k
+
+    f = f0
+    errs: List[np.ndarray] = []
+    focks: List[np.ndarray] = []
+    e_old = 0.0
+    for it in range(max_iter):
+        eps, c_ortho = np.linalg.eigh(x.T @ f @ x)
+        c = x @ c_ortho
+        c_occ = c[:, :n_occ]
+        dm = 2.0 * c_occ @ c_occ.T
+        f_new = fock(dm)
+        e_el = 0.5 * np.sum(dm * (h_core + f_new))
+        err = x.T @ (f_new @ dm @ s_mat - s_mat @ dm @ f_new) @ x
+        if it < n_damped:
+            # plain damping first: DIIS from the core guess can lock onto
+            # aufbau saddles (observed: N2 sto-3g stalls 0.71 Ha high)
+            f = 0.5 * f + 0.5 * f_new
+            e_old = e_el
+            continue
+        errs.append(err)
+        focks.append(f_new.copy())
+        if len(errs) > diis_len:
+            errs.pop(0)
+            focks.pop(0)
+        f = f_new
+        if len(errs) >= 2:
+            m = len(errs)
+            b = -np.ones((m + 1, m + 1))
+            b[m, m] = 0.0
+            for i in range(m):
+                for j in range(m):
+                    b[i, j] = np.sum(errs[i] * errs[j])
+            rhs = np.zeros(m + 1)
+            rhs[m] = -1.0
+            try:
+                w = np.linalg.solve(b, rhs)[:m]
+                f = sum(wi * fi for wi, fi in zip(w, focks))
+            except np.linalg.LinAlgError:
+                pass
+        if abs(e_el - e_old) < conv and np.max(np.abs(err)) < 1e-8:
+            return e_el, dm
+        e_old = e_el
+    return None
+
+
+def rhf(
+    symbols: Sequence[str],
+    positions_angstrom: np.ndarray,
+    charge: int = 0,
+    max_iter: int = 300,
+    conv: float = 1e-11,
+    diis_len: int = 8,
+    n_guesses: int = 3,
+) -> RHFResult:
+    """Closed-shell RHF with DIIS, then the MO-basis integral transform.
+
+    Multiple initial guesses (core Hamiltonian + seeded symmetry-breaking
+    perturbations) are converged and the lowest SCF solution kept: the
+    bare core guess can converge onto an aufbau saddle for systems with
+    near-degenerate valence shells (N2 sto-3g sits 0.71 Ha high there).
+
+    Open-shell systems (O2/CH2 in the zoo, multiplicity 3) need ROHF and
+    are not generated here; their stored hdf5 data remains the source.
+    """
+    centers = np.asarray(positions_angstrom, dtype=np.float64) * ANGSTROM_TO_BOHR
+    charges = [float(ATOMIC_NUMBER[s]) for s in symbols]
+    n_elec = int(sum(charges)) - charge
+    if n_elec % 2:
+        raise ValueError("rhf() handles closed shells only (even electrons)")
+    n_occ = n_elec // 2
+
+    basis = build_basis(symbols, centers)
+    s_mat, t_mat, v_mat, g = build_integrals(basis, charges, centers)
+    h_core = t_mat + v_mat
+    e_nuc = nuclear_repulsion(charges, centers)
+
+    # symmetric (Loewdin) orthogonalization
+    s_val, s_vec = np.linalg.eigh(s_mat)
+    x = s_vec @ np.diag(s_val**-0.5) @ s_vec.T
+
+    def fock(dm):
+        j = np.einsum("pqrs,rs->pq", g, dm)
+        k = np.einsum("prqs,rs->pq", g, dm)
+        return h_core + j - 0.5 * k
+
+    best = None
+    rng = np.random.default_rng(0)
+    scale = np.abs(h_core).max()
+    for attempt in range(n_guesses):
+        f0 = h_core.copy()
+        if attempt > 0:
+            pert = rng.normal(size=h_core.shape) * (2e-2 * scale)
+            f0 = f0 + 0.5 * (pert + pert.T)
+        got = _scf_loop(h_core, g, x, s_mat, n_occ, f0, max_iter, conv,
+                        diis_len)
+        if got is not None and (best is None or got[0] < best[0] - 1e-10):
+            best = got
+    if best is None:
+        raise RuntimeError("RHF did not converge from any initial guess")
+    _e_el, dm = best
+
+    # final canonical orbitals from the converged Fock
+    eps, c_ortho = np.linalg.eigh(x.T @ fock(dm) @ x)
+    c = x @ c_ortho
+    dm = 2.0 * c[:, :n_occ] @ c[:, :n_occ].T
+    e_hf = 0.5 * np.sum(dm * (h_core + fock(dm))) + e_nuc
+
+    # MO transform
+    h1 = c.T @ h_core @ c
+    eri_mo = np.einsum("pqrs,pa->aqrs", g, c, optimize=True)
+    eri_mo = np.einsum("aqrs,qb->abrs", eri_mo, c, optimize=True)
+    eri_mo = np.einsum("abrs,rc->abcs", eri_mo, c, optimize=True)
+    eri_mo = np.einsum("abcs,sd->abcd", eri_mo, c, optimize=True)
+    # OpenFermion MolecularData layout: h2[p,q,r,s] = <pq|sr> physicist
+    #                                              = (ps|qr) chemist
+    two_body = np.transpose(eri_mo, (0, 2, 3, 1))
+
+    # closed-shell MP2 from spatial MO ERIs (reference stores mp2_energy)
+    n_mo = h1.shape[0]
+    occ, vir = slice(0, n_occ), slice(n_occ, n_mo)
+    ov = eri_mo[occ, vir, occ, vir]  # (ia|jb) chemist
+    denom = (eps[occ, None, None, None] - eps[None, vir, None, None]
+             + eps[None, None, occ, None] - eps[None, None, None, vir])
+    e_mp2 = float(np.einsum("iajb,iajb->", ov * (2 * ov - np.swapaxes(ov, 1, 3)),
+                            1.0 / denom))
+
+    return RHFResult(
+        e_hf=float(e_hf), e_nuc=float(e_nuc), mo_coeff=c,
+        orbital_energies=eps, one_body_mo=h1, two_body_mo=two_body,
+        e_mp2=float(e_hf + e_mp2), n_electrons=n_elec,
+    )

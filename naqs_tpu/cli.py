@@ -402,7 +402,11 @@ def _load_or_compile_terms(args, mol, n_exc):
     cache = None
     if args.loadH or args.overwriteH:
         tag = f"_{n_exc}exc" if n_exc is not None else ""
-        base = os.path.basename(os.path.normpath(args.molecule))
+        # Full (normalized) molecule path in the key: basenames collide
+        # across geometry families — e.g. carleo/LiH vs LiH are different
+        # geometries, and a basename key served the zoo Hamiltonian to the
+        # carleo job (observed: carleo_lih converged to the zoo-LiH FCI).
+        base = os.path.normpath(args.molecule).replace(os.sep, "__")
         cache = os.path.join("data", "terms_cache", f"{base}{tag}_terms.npz")
     if args.loadH and cache and os.path.exists(cache):
         with np.load(cache) as z:
