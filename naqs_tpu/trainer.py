@@ -771,7 +771,8 @@ class VMCTrainer:
     def warm_start_from_solve_h(self, n_epochs: int = 500, n_samps: Optional[float] = None,
                                 k_max: int = 10000, lr: float = 2e-3,
                                 select_min: float = 1e-4,
-                                states: Optional[np.ndarray] = None):
+                                states: Optional[np.ndarray] = None,
+                                target_s2: Optional[float] = None):
         """Escape optimization traps by re-targeting the model at the ground
         state of H restricted to the currently-sampled subspace: sample ->
         diagonalize (host, native C++ assembly) -> supervised pre-train to
@@ -813,7 +814,22 @@ class VMCTrainer:
                 top = np.argsort(counts)[-k_max:]
                 states = np.sort(states[top])
         H = assemble_sparse_hamiltonian_np(self.terms, states)
-        if H.shape[0] < 3:
+        if target_s2 is not None and H.shape[0] >= 3:
+            # spin-resolved selection: the JW particle sector is an S_z
+            # sector, and for stretched geometries non-target-spin states
+            # can lie below the target-spin ground state (utils/spin.py)
+            from naqs_tpu.utils.spin import lowest_eig_with_spin
+
+            e0, vec, s2_list, idx = lowest_eig_with_spin(
+                H, states, self.hilbert.n_qubits, target_s2=target_s2)
+            if idx is None:
+                print(f"solve_h: no eigenstate with <S^2>~{target_s2} in "
+                      f"lowest {len(s2_list)} (s2={np.round(s2_list, 2)}); "
+                      "using ground state", flush=True)
+            elif idx > 0:
+                print(f"solve_h: spin-selected eigenstate #{idx} "
+                      f"(s2={np.round(s2_list, 2)})", flush=True)
+        elif H.shape[0] < 3:
             w, v = np.linalg.eigh(H.toarray())
             vec = v[:, 0]
             e0 = w[0]
@@ -846,7 +862,7 @@ class VMCTrainer:
         )
 
     def solve_h(self, n_samps: Optional[float] = None, k_max: int = 10000,
-                use_counter: bool = True):
+                use_counter: bool = True, target_s2: Optional[float] = None):
         """Diagonalize H restricted to the top-k_max MOST-SAMPLED states over
         the whole training history ("VMC+FCI", energy.py:762-786; the
         reference accumulates every sampled index in a Counter,
@@ -881,6 +897,12 @@ class VMCTrainer:
         if H.shape[0] < 3:
             w = np.linalg.eigvalsh(H.toarray())
             return float(w[0]), nu
+        if target_s2 is not None:
+            from naqs_tpu.utils.spin import lowest_eig_with_spin
+
+            e0, _vec, _s2, _idx = lowest_eig_with_spin(
+                H, states, self.hilbert.n_qubits, target_s2=target_s2)
+            return float(e0), nu
         w = eigsh(H, k=1, which="SA")[0]
         return float(w[0]), nu
 
