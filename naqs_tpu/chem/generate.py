@@ -1,0 +1,178 @@
+"""Molecule-data generation CLI: geometry -> trainable molecule folder.
+
+Replaces the reference's offline data pipeline (notebooks/
+generate_molecular_data_and_baselines.ipynb: Psi4 SCF/FCI + OpenFermion
+MolecularData + jordan_wigner pickle) with the from-scratch chain
+
+    chem.basis (STO-3G refit) -> chem.integrals (McMurchie-Davidson)
+    -> chem.scf (DIIS RHF + MO transform + MP2)
+    -> hdf5 in the stored-data layout (utils/molecule.py reads it back)
+    -> FCI baseline via exact sector diagonalization of OUR Jordan-Wigner
+       Hamiltonian (naqs_tpu.jw), when the sector is enumerable.
+
+No qubit-Hamiltonian pickle is written: load_molecule() rebuilds the
+operator from the stored integrals through naqs_tpu.jw, which is
+machine-precision equivalent to the shipped OpenFermion pickles
+(tests/test_jw.py).
+
+Usage:
+    python -m naqs_tpu.chem.generate --atoms H H --positions 0 0 0 0 0 0.7414 \
+        --out molecules/MyH2
+    python -m naqs_tpu.chem.generate --xyz water.xyz --out molecules/MyH2O
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def generate_molecule_data(
+    symbols: Sequence[str],
+    positions_angstrom: np.ndarray,
+    charge: int = 0,
+    name: Optional[str] = None,
+    do_fci: bool = True,
+    fci_max_states: int = 2_000_000,
+) -> dict:
+    """Run the full pipeline; returns the field dict written to hdf5."""
+    from naqs_tpu.chem.scf import rhf
+
+    positions_angstrom = np.asarray(positions_angstrom, dtype=np.float64)
+    r = rhf(symbols, positions_angstrom, charge=charge)
+    n_orbitals = r.one_body_mo.shape[0]
+    n_qubits = 2 * n_orbitals
+    out = {
+        "name": name or "".join(symbols),
+        "basis": "sto-3g",
+        "n_qubits": n_qubits,
+        "n_orbitals": n_orbitals,
+        "n_electrons": r.n_electrons,
+        "multiplicity": 1,
+        "nuclear_repulsion": r.e_nuc,
+        "hf_energy": r.e_hf,
+        "mp2_energy": r.e_mp2,
+        "orbital_energies": r.orbital_energies,
+        "one_body_integrals": r.one_body_mo,
+        "two_body_integrals": r.two_body_mo,
+        "symbols": list(symbols),
+        "positions": positions_angstrom,
+    }
+
+    if do_fci:
+        from math import comb
+
+        n_half = r.n_electrons // 2
+        sector = comb(n_orbitals, n_half) ** 2
+        if sector <= fci_max_states:
+            from scipy.sparse.linalg import eigsh
+
+            import naqs_tpu as nq
+            from naqs_tpu.hamiltonian import (
+                assemble_sparse_hamiltonian_np, compile_pauli_terms,
+                jordan_wigner_from_integrals)
+
+            td = jordan_wigner_from_integrals(
+                r.one_body_mo, r.two_body_mo, r.e_nuc)
+            terms = compile_pauli_terms(td, n_qubits)
+            hil = nq.Hilbert(n_qubits=n_qubits,
+                             sectors=((n_half, n_half),))
+            basis = np.sort(np.asarray(hil.basis, dtype=np.uint64))
+            H = assemble_sparse_hamiltonian_np(terms, basis)
+            if H.shape[0] < 3:
+                e0 = float(np.linalg.eigvalsh(H.toarray())[0])
+            else:
+                e0 = float(eigsh(H, k=1, which="SA")[0][0])
+            out["fci_energy"] = e0
+        else:
+            print(f"(sector has {sector:.3g} states > {fci_max_states}; "
+                  "skipping FCI baseline)")
+    return out
+
+
+def write_molecule_dir(data: dict, out_dir: str) -> str:
+    """Write `<out_dir>/<basename>.hdf5` in the stored-data layout."""
+    import h5py
+
+    os.makedirs(out_dir, exist_ok=True)
+    mol_name = os.path.basename(os.path.normpath(out_dir))
+    path = os.path.join(out_dir, f"{mol_name}.hdf5")
+    with h5py.File(path, "w") as f:
+        f["name"] = np.bytes_(data["name"])
+        f["basis"] = np.bytes_(data["basis"])
+        for k in ("n_qubits", "n_orbitals", "n_electrons", "multiplicity"):
+            f[k] = int(data[k])
+        f["nuclear_repulsion"] = float(data["nuclear_repulsion"])
+        for k in ("hf_energy", "mp2_energy", "fci_energy"):
+            if data.get(k) is not None:
+                f[k] = float(data[k])
+        for k in ("orbital_energies", "one_body_integrals",
+                  "two_body_integrals"):
+            f[k] = np.asarray(data[k], dtype=np.float64)
+        f["geometry/atoms"] = np.array(
+            [s.encode() for s in data["symbols"]])
+        f["geometry/positions"] = np.asarray(data["positions"],
+                                             dtype=np.float64)
+    return path
+
+
+def _read_xyz(path: str):
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    try:
+        n = int(lines[0])
+        body = lines[2:2 + n]  # standard xyz: count, comment, atoms
+    except ValueError:
+        body = lines  # bare "<sym> x y z" lines
+    symbols: List[str] = []
+    pos = []
+    for ln in body:
+        parts = ln.split()
+        symbols.append(parts[0])
+        pos.append([float(x) for x in parts[1:4]])
+    return symbols, np.asarray(pos)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Generate a trainable molecule folder from a geometry "
+                    "(replaces the reference's Psi4 notebook pipeline).")
+    p.add_argument("--atoms", nargs="+", help="element symbols")
+    p.add_argument("--positions", nargs="+", type=float,
+                   help="flat x y z per atom, in Angstrom")
+    p.add_argument("--xyz", help="read geometry from an .xyz file instead")
+    p.add_argument("--charge", type=int, default=0)
+    p.add_argument("--name", default=None)
+    p.add_argument("--out", required=True, help="output molecule folder")
+    p.add_argument("--no-fci", action="store_true",
+                   help="skip the exact-diagonalization FCI baseline")
+    p.add_argument("--fci-max-states", type=int, default=2_000_000)
+    args = p.parse_args(argv)
+
+    if args.xyz:
+        symbols, pos = _read_xyz(args.xyz)
+    else:
+        if not args.atoms or not args.positions:
+            p.error("provide --xyz or both --atoms and --positions")
+        if len(args.positions) != 3 * len(args.atoms):
+            p.error("--positions must supply x y z per atom")
+        symbols = args.atoms
+        pos = np.asarray(args.positions, dtype=np.float64).reshape(-1, 3)
+
+    data = generate_molecule_data(
+        symbols, pos, charge=args.charge, name=args.name,
+        do_fci=not args.no_fci, fci_max_states=args.fci_max_states)
+    path = write_molecule_dir(data, args.out)
+    print(f"wrote {path}")
+    print(f"  HF  = {data['hf_energy']:.6f} Ha")
+    print(f"  MP2 = {data['mp2_energy']:.6f} Ha")
+    if data.get("fci_energy") is not None:
+        print(f"  FCI = {data['fci_energy']:.6f} Ha")
+    return path
+
+
+if __name__ == "__main__":
+    main()
