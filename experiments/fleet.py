@@ -106,6 +106,16 @@ def build_jobs():
         jobs.append(("n2fix", _job(f"n2_{r}", f"N2_{r}", 5000,
                                    extra=["-ws_solve_h", "2500"])))
 
+    # --- phase "n2exact": the N2 sector is only 14,400 states — exact-mode
+    # training with a mid-run full-sector solve_H retarget reaches the
+    # verified sector ground state (data/n2_exact.json) without sampling
+    # noise. Reruns for the curve points whose sampled-path E_loc stayed
+    # 2-25 mHa high.
+    for r in ["0.9", "1.2", "1.35", "1.5", "1.65", "2.25"]:
+        jobs.append(("n2exact", _job(
+            f"n2_{r}", f"N2_{r}", 2800,
+            extra=["-exact_sampling", "-ws_solve_h", "1000"])))
+
     # --- phase "zoo": remaining sto-3g systems (seed 11, production config)
     zoo = [
         ("CH2", 3000, SAMP), ("H2S", 3000, SAMP), ("F2", 3000, SAMP),
@@ -122,6 +132,18 @@ def build_jobs():
     # (~24 min, sampler cache now warm) the only long pole. Budget trimmed
     # to fit the round window; VMC+FCI closes the rest.
     jobs.append(("zoo", _job("zoo_Li2O", "Li2O", 4000, samp=SAMP_BIG)))
+    # Li2O CISDTQ-exact protocol (round 3): the sampled run's top-10k
+    # solve_H support missed FCI by 3.4 mHa; the n_exc<=4 restricted floor
+    # is -87.891804 (+0.889 mHa over 644,365 states, measured by
+    # scratch/probe_li2o_floor.py: assemble 533 s + eigsh 1059 s on host)
+    # — the same exact-mode + mid-run solve_H retarget that closed
+    # H2O 6-31G. Run with --stall-secs >= 2000: the host eigsh is silent
+    # for ~27 min.
+    jobs.append(("zoo", _job(
+        "li2o_x4", "Li2O", 2500,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "1000"],
+    )))
     # C2 sto-3g is strongly multireference (FCI-CCSD gap 16 mHa): give it
     # the solve_H warm-start protocol too
     jobs.append(("zoo", _job("zoo_C2", "C2", 6000,
@@ -170,9 +192,11 @@ def build_jobs():
     # --- phase "optimizers": Adam vs SR vs KFAC on LiH (tuned per method;
     # the optimizer-parity ablation promised alongside the KFAC port)
     jobs.append(("optimizers", _job("opt_LiH_adam", "LiH", 2000)))
+    # SR retune: damping 1e-2 + lr 5e-2 stalled 17 mHa high (overdamped
+    # natural gradient on a tiny support); softer damping, standard LR
     jobs.append(("optimizers", _job(
         "opt_LiH_sr", "LiH", 2000,
-        extra=["-sr", "-sr_damping", "1e-2", "-lr", "5e-2"],
+        extra=["-sr", "-sr_damping", "1e-3", "-lr", "2e-2"],
     )))
     jobs.append(("optimizers", _job(
         "opt_LiH_kfac", "LiH", 2000, extra=["-kfac", "-lr", "5e-2"],
