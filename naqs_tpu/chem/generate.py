@@ -62,6 +62,17 @@ def generate_molecule_data(
         "positions": positions_angstrom,
     }
 
+    # CCSD baseline (chem.cc): same solver family the reference's data
+    # notebook records from Psi4; validates to ~1e-8 Ha on the shipped
+    # molecules (tests/test_cc.py)
+    from naqs_tpu.chem.cc import ccsd
+
+    cc = ccsd(r)
+    if cc.converged:
+        out["ccsd_energy"] = cc.e_ccsd
+    else:
+        print("(CCSD did not converge; omitting ccsd_energy)")
+
     if do_fci:
         from math import comb
 
@@ -106,7 +117,7 @@ def write_molecule_dir(data: dict, out_dir: str) -> str:
         for k in ("n_qubits", "n_orbitals", "n_electrons", "multiplicity"):
             f[k] = int(data[k])
         f["nuclear_repulsion"] = float(data["nuclear_repulsion"])
-        for k in ("hf_energy", "mp2_energy", "fci_energy"):
+        for k in ("hf_energy", "mp2_energy", "ccsd_energy", "fci_energy"):
             if data.get(k) is not None:
                 f[k] = float(data[k])
         for k in ("orbital_energies", "one_body_integrals",
