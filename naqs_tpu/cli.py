@@ -317,6 +317,7 @@ def run(args=None) -> dict:
         # profiled steps count towards the budget so the two-phase LR boundary
         # stays where a non-profiled run would put it
         n_remaining = max(args.n_train - trainer.n_steps, 0)
+        ws_e_sub = None  # (E0, n) of the exact-mode full-basis solve, if run
         if args.exact_sampling:
             if args.ws_solve_h > 0 and trainer.n_steps < args.ws_solve_h:
                 trainer.run_exact(args.ws_solve_h - trainer.n_steps,
@@ -333,6 +334,7 @@ def run(args=None) -> dict:
                     states=hilbert.basis, target_s2=target_s2)
                 print(f"solve_H warm start (exact mode): E0={e_sub:.6f} Ha "
                       f"over {n_sub} basis states", flush=True)
+                ws_e_sub = (e_sub, n_sub)
             trainer.run_exact(max(args.n_train - trainer.n_steps, 0),
                               output_freq=args.output_freq,
                               save_freq=save_freq)
@@ -359,8 +361,20 @@ def run(args=None) -> dict:
         trainer.save()
 
         try:
-            e_fci_sub, n_unq = trainer.solve_h(n_samps=trainer.n_samples,
-                                               target_s2=target_s2)
+            if args.exact_sampling and ws_e_sub is not None:
+                # exact mode: the final "VMC+FCI" is the restricted-basis
+                # ground state, which depends only on (H, basis) — the
+                # warm-start eigensolve already computed it; reuse instead
+                # of repeating a potentially ~20-min host eigsh (Li2O).
+                e_fci_sub, n_unq = ws_e_sub
+            elif args.exact_sampling:
+                # exact mode never feeds the sampled counter; solve over
+                # the full (enumerable) training basis
+                e_fci_sub, n_unq = trainer.solve_h(
+                    states=hilbert.basis, target_s2=target_s2)
+            else:
+                e_fci_sub, n_unq = trainer.solve_h(n_samps=trainer.n_samples,
+                                                   target_s2=target_s2)
         except Exception as exc:
             print(f"(solve_H failed: {exc})")
             e_fci_sub, n_unq = None, 0

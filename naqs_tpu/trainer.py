@@ -862,15 +862,21 @@ class VMCTrainer:
         )
 
     def solve_h(self, n_samps: Optional[float] = None, k_max: int = 10000,
-                use_counter: bool = True, target_s2: Optional[float] = None):
+                use_counter: bool = True, target_s2: Optional[float] = None,
+                states: Optional[np.ndarray] = None):
         """Diagonalize H restricted to the top-k_max MOST-SAMPLED states over
         the whole training history ("VMC+FCI", energy.py:762-786; the
         reference accumulates every sampled index in a Counter,
         energy.py:137,300). Falls back to one fresh sample when no history
-        exists (e.g. before training). Returns (energy, n_unique_used)."""
+        exists (e.g. before training). An explicit `states` array overrides
+        both (exact-sampling mode passes the full training basis — the
+        counter is never fed there). Returns (energy, n_unique_used)."""
         from scipy.sparse.linalg import eigsh
 
-        if use_counter and self.sampled_counter:
+        if states is not None:
+            states = np.sort(np.asarray(states, dtype=np.uint64))
+            nu = len(states)
+        elif use_counter and self.sampled_counter:
             keys = np.fromiter(self.sampled_counter.keys(), dtype=np.uint64,
                                count=len(self.sampled_counter))
             vals = np.fromiter(self.sampled_counter.values(), dtype=np.float64,
