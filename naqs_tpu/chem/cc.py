@@ -69,11 +69,31 @@ def ccsd_from_integrals(
     max_iter: int = 200,
     conv: float = 1e-9,
     diis_depth: int = 8,
+    n_alpha: int = None,
+    n_beta: int = None,
 ) -> CCSDResult:
-    """Solve CCSD from spatial MO integrals in the stored-hdf5 layout."""
+    """Solve CCSD from spatial MO integrals in the stored-hdf5 layout.
+
+    For an open-shell (ROHF) reference pass n_alpha/n_beta: the occupied
+    spin orbitals are then alpha 0..n_alpha-1 and beta 0..n_beta-1 (spatial
+    indices) rather than the lowest n_electrons interleaved indices. The
+    spin-orbital equations keep the full non-canonical Fock (off-diagonal
+    occ-occ/virt-virt blocks enter through the Fae/Fmi intermediates and
+    f_ov enters T1), so the energy is the standard ROHF-CCSD.
+    """
     h1, g = _spin_orbital_integrals(one_body_mo, two_body_mo)
     n_so = h1.shape[0]
     no, nv = n_electrons, n_so - n_electrons
+    if n_alpha is not None or n_beta is not None:
+        assert n_alpha is not None and n_beta is not None
+        assert n_alpha + n_beta == n_electrons
+        occ_idx = np.concatenate([2 * np.arange(n_alpha),
+                                  2 * np.arange(n_beta) + 1])
+        occ_idx = np.sort(occ_idx)
+        vir_idx = np.setdiff1d(np.arange(n_so), occ_idx)
+        perm = np.concatenate([occ_idx, vir_idx])
+        h1 = h1[np.ix_(perm, perm)]
+        g = g[np.ix_(perm, perm, perm, perm)]
     o, v = slice(0, no), slice(no, n_so)
 
     # spin-orbital Fock matrix from the (canonical-RHF) MO integrals;
@@ -203,7 +223,10 @@ def ccsd_from_integrals(
 
 
 def ccsd(rhf_result, **kw) -> CCSDResult:
-    """CCSD from a chem.scf.rhf result."""
+    """CCSD from a chem.scf rhf/rohf result (open shell auto-detected)."""
+    if getattr(rhf_result, "multiplicity", 1) > 1:
+        kw.setdefault("n_alpha", rhf_result.n_alpha)
+        kw.setdefault("n_beta", rhf_result.n_beta)
     return ccsd_from_integrals(
         rhf_result.one_body_mo, rhf_result.two_body_mo,
         rhf_result.n_electrons, rhf_result.e_hf, rhf_result.e_nuc, **kw)

@@ -34,15 +34,22 @@ def generate_molecule_data(
     symbols: Sequence[str],
     positions_angstrom: np.ndarray,
     charge: int = 0,
+    multiplicity: int = 1,
     name: Optional[str] = None,
     do_fci: bool = True,
     fci_max_states: int = 2_000_000,
 ) -> dict:
     """Run the full pipeline; returns the field dict written to hdf5."""
-    from naqs_tpu.chem.scf import rhf
+    from naqs_tpu.chem.scf import rhf, rohf
 
     positions_angstrom = np.asarray(positions_angstrom, dtype=np.float64)
-    r = rhf(symbols, positions_angstrom, charge=charge)
+    if multiplicity == 1:
+        r = rhf(symbols, positions_angstrom, charge=charge)
+    else:
+        # open shell (O2/CH2 in the reference zoo): Guest-Saunders ROHF —
+        # one spatial-orbital set, so the JW mapping below is unchanged
+        r = rohf(symbols, positions_angstrom, charge=charge,
+                 multiplicity=multiplicity)
     n_orbitals = r.one_body_mo.shape[0]
     n_qubits = 2 * n_orbitals
     out = {
@@ -51,10 +58,11 @@ def generate_molecule_data(
         "n_qubits": n_qubits,
         "n_orbitals": n_orbitals,
         "n_electrons": r.n_electrons,
-        "multiplicity": 1,
+        "multiplicity": multiplicity,
         "nuclear_repulsion": r.e_nuc,
         "hf_energy": r.e_hf,
-        "mp2_energy": r.e_mp2,
+        # ROHF MP2 is not uniquely defined; omitted for open shell
+        "mp2_energy": r.e_mp2 if multiplicity == 1 else None,
         "orbital_energies": r.orbital_energies,
         "one_body_integrals": r.one_body_mo,
         "two_body_integrals": r.two_body_mo,
@@ -76,8 +84,12 @@ def generate_molecule_data(
     if do_fci:
         from math import comb
 
-        n_half = r.n_electrons // 2
-        sector = comb(n_orbitals, n_half) ** 2
+        if multiplicity == 1:
+            n_a = n_b = r.n_electrons // 2
+        else:
+            n_a, n_b = r.n_alpha, r.n_beta  # max-m_s sector holds the
+            # multiplet ground state (S >= m_s = (mult-1)/2)
+        sector = comb(n_orbitals, n_a) * comb(n_orbitals, n_b)
         if sector <= fci_max_states:
             from scipy.sparse.linalg import eigsh
 
@@ -89,8 +101,7 @@ def generate_molecule_data(
             td = jordan_wigner_from_integrals(
                 r.one_body_mo, r.two_body_mo, r.e_nuc)
             terms = compile_pauli_terms(td, n_qubits)
-            hil = nq.Hilbert(n_qubits=n_qubits,
-                             sectors=((n_half, n_half),))
+            hil = nq.Hilbert(n_qubits=n_qubits, sectors=((n_a, n_b),))
             basis = np.sort(np.asarray(hil.basis, dtype=np.uint64))
             H = assemble_sparse_hamiltonian_np(terms, basis)
             if H.shape[0] < 3:
@@ -156,6 +167,8 @@ def main(argv=None):
                    help="flat x y z per atom, in Angstrom")
     p.add_argument("--xyz", help="read geometry from an .xyz file instead")
     p.add_argument("--charge", type=int, default=0)
+    p.add_argument("--multiplicity", type=int, default=1,
+                   help="2S+1; >1 selects the ROHF open-shell path")
     p.add_argument("--name", default=None)
     p.add_argument("--out", required=True, help="output molecule folder")
     p.add_argument("--no-fci", action="store_true",
@@ -174,12 +187,16 @@ def main(argv=None):
         pos = np.asarray(args.positions, dtype=np.float64).reshape(-1, 3)
 
     data = generate_molecule_data(
-        symbols, pos, charge=args.charge, name=args.name,
+        symbols, pos, charge=args.charge, multiplicity=args.multiplicity,
+        name=args.name,
         do_fci=not args.no_fci, fci_max_states=args.fci_max_states)
     path = write_molecule_dir(data, args.out)
     print(f"wrote {path}")
     print(f"  HF  = {data['hf_energy']:.6f} Ha")
-    print(f"  MP2 = {data['mp2_energy']:.6f} Ha")
+    if data.get("mp2_energy") is not None:
+        print(f"  MP2 = {data['mp2_energy']:.6f} Ha")
+    if data.get("ccsd_energy") is not None:
+        print(f"  CCSD= {data['ccsd_energy']:.6f} Ha")
     if data.get("fci_energy") is not None:
         print(f"  FCI = {data['fci_energy']:.6f} Ha")
     return path

@@ -53,3 +53,17 @@ def test_n2_ccsd_matches_stored():
     res, stored, _ = _run("N2")
     assert res.converged
     assert abs(res.e_ccsd - stored) < 1e-6
+
+
+def test_o2_rohf_ccsd_matches_stored():
+    # open-shell (triplet, ROHF reference): occupied spin orbitals are
+    # alpha 0..8 / beta 0..6, not an interleaved prefix
+    path = os.path.join(_resolve_molecule_dir("O2"), "O2.hdf5")
+    with h5py.File(path) as f:
+        res = ccsd_from_integrals(
+            f["one_body_integrals"][()], f["two_body_integrals"][()],
+            int(f["n_electrons"][()]), float(f["hf_energy"][()]),
+            float(f["nuclear_repulsion"][()]), n_alpha=9, n_beta=7)
+        stored = float(f["ccsd_energy"][()])
+    assert res.converged
+    assert abs(res.e_ccsd - stored) < 1e-6

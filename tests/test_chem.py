@@ -94,3 +94,23 @@ def test_h2s_hf_with_recovered_third_row_zetas():
     syms, pos, hf_t = _load_geometry("H2S")
     r = rhf(syms, pos, n_guesses=1)
     assert abs(r.e_hf - hf_t) < 5e-3
+
+
+@pytest.mark.slow
+def test_ch2_open_shell_generation_matches_stored():
+    """Full ROHF -> CCSD -> FCI generation for a triplet (CH2) reproduces
+    the stored Psi4 baselines."""
+    from naqs_tpu.chem.generate import generate_molecule_data
+
+    import os
+
+    path = os.path.join(_resolve_molecule_dir("CH2"), "CH2.hdf5")
+    with h5py.File(path) as f:
+        syms = [a.decode() for a in f["geometry/atoms"][()]]
+        pos = f["geometry/positions"][()]
+        stored = {k: float(f[k][()])
+                  for k in ("hf_energy", "ccsd_energy", "fci_energy")}
+    d = generate_molecule_data(syms, pos, multiplicity=3, name="CH2")
+    for k, tol in (("hf_energy", 1e-7), ("ccsd_energy", 1e-6),
+                   ("fci_energy", 1e-6)):
+        assert abs(d[k] - stored[k]) < tol, k
