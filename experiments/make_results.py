@@ -74,7 +74,8 @@ def main(argv=None):
     A("Chemical accuracy: E - E_FCI < 1.6 mHa (reference criterion).")
     A("'exact' = deterministic <psi|H|psi> over the full restricted basis;")
     A("'E_loc' = trailing-mean sampled energy (spaces too large for exact")
-    A("evaluation). 'VMC+FCI' = solve_H over the top-10k most-sampled states.")
+    A("evaluation). 'VMC+FCI' = solve_H over the top-10k most-sampled states")
+    A("(sampled runs) or over the full training basis (exact-mode runs).")
     A("All runs: production config (n_hid 64, global phase net 2x512, partial")
     A("masking unless noted), Adam 1e-3 -> 5e-4. Regenerate with")
     A("`python -m experiments.make_results` after `python -m experiments.fleet`.")
@@ -92,7 +93,8 @@ def main(argv=None):
         "zoo_F2": "F2 sto-3g", "zoo_HCl": "HCl sto-3g",
         "zoo_PH3": "PH3 sto-3g", "zoo_LiF": "LiF sto-3g",
         "zoo_C2": "C2 sto-3g", "zoo_LiCl": "LiCl sto-3g (28q, 1.0M states)",
-        "zoo_Li2O": "Li2O sto-3g (30q, 41.4M states)",
+        "zoo_Li2O": "Li2O sto-3g (30q, 41.4M states, sampled)",
+        "li2o_x4": "Li2O sto-3g (30q, CISDTQ-exact protocol)",
     }
     for k, lab in zoo_labels.items():
         if k in S:
@@ -105,8 +107,10 @@ def main(argv=None):
     A("|---|---|---|---|---|---|---|")
     for k, lab in [("h2_631g", "H2 6-31G"), ("h2_ccpvdz", "H2 cc-pVDZ"),
                    ("h2_ccpvtz", "H2 cc-pVTZ (56 qubits)"),
-                   ("h2o_631g", "H2O 6-31G (26q, full-mask, 10k steps)"),
-                   ("h4o2", "H4O2 water dimer (28q)")]:
+                   ("h2o_631g", "H2O 6-31G (26q, full-mask, sampled window)"),
+                   ("h2o_631g_x4", "H2O 6-31G (26q, CISDTQ-exact protocol)"),
+                   ("h4o2", "H4O2 water dimer (28q, sampled window)"),
+                   ("h4o2_x4", "H4O2 water dimer (28q, CISDTQ-exact protocol)")]:
         if k in S:
             A(row(lab, S[k]))
     A("")
@@ -219,13 +223,15 @@ def main(argv=None):
     A("")
     A("| Path | states/s |")
     A("|---|---|")
-    A("| TPU v5e rank engine, M=8192 sampled states | ~500-700k |")
-    A("| TPU v5e rank engine, M=65536 (production window) | ~890k |")
+    A("| TPU v5e dense-table engine, M=8192 sampled states | ~4.2M |")
+    A("| TPU v5e dense-table engine, M=65536 (production window) | ~16.1M |")
+    A("| TPU v5e rank engine (large sectors, > dense-table limit), M=8192 | ~500-700k |")
     A("| C++/OpenMP host kernel (csrc/), 1 CPU core | ~63k |")
     A("| numpy host oracle (bench baseline), 1 CPU core | ~18k |")
     A("")
     A("`bench.py` prints the headline number with `vs_baseline` measured")
-    A("against the numpy host path on the current machine (27-38x observed).")
+    A("against the numpy host path on the current machine (352x measured")
+    A("this round; the dense engine is 9.2x round 2's rank-engine number).")
     A("")
     A("## Strong correlation: stretched N2 (round-1 analysis)")
     A("")

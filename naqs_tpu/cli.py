@@ -86,6 +86,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "ground state of H restricted to the most-sampled "
                         "subspace (trap escape for near-degenerate strong-"
                         "correlation regimes), then continue training")
+    p.add_argument("-ws_epochs", type=int, default=500,
+                   help="supervised fit epochs for the solve_H warm start "
+                        "(the fit, not the eigensolve, bounds how close the "
+                        "re-targeted model starts to the subspace ground "
+                        "state)")
     p.add_argument("-ws_spin", type=float, default=-1.0,
                    help="target total spin s for solve_H eigenstate "
                         "selection (<S^2> = s(s+1)); the JW particle sector "
@@ -331,7 +336,8 @@ def run(args=None) -> dict:
                 # (measured 96s+61s for the 149,661-state / 47M-nnz
                 # H2O 6-31G CISDTQ space).
                 e_sub, n_sub = trainer.warm_start_from_solve_h(
-                    states=hilbert.basis, target_s2=target_s2)
+                    states=hilbert.basis, target_s2=target_s2,
+                    n_epochs=args.ws_epochs)
                 print(f"solve_H warm start (exact mode): E0={e_sub:.6f} Ha "
                       f"over {n_sub} basis states", flush=True)
                 ws_e_sub = (e_sub, n_sub)
@@ -349,7 +355,8 @@ def run(args=None) -> dict:
             trainer.run(args.ws_solve_h - trainer.n_steps,
                         output_freq=args.output_freq,
                         log_exact_energy=log_exact, save_freq=save_freq)
-            e_sub, n_sub = trainer.warm_start_from_solve_h(target_s2=target_s2)
+            e_sub, n_sub = trainer.warm_start_from_solve_h(
+                target_s2=target_s2, n_epochs=args.ws_epochs)
             print(f"solve_H warm start: subspace E0={e_sub:.6f} Ha over "
                   f"{n_sub} most-sampled states", flush=True)
             trainer.run(max(args.n_train - trainer.n_steps, 0),
