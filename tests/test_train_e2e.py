@@ -158,3 +158,28 @@ def test_pretrain_hf_moves_deep_models():
     la1, _ = log_psi(cfg, tr.params, hf)
     assert float(la1[0]) > float(la0[0]) + 1.0
     assert float(la1[0]) > -0.5  # p(HF) ~ 1 after pretraining
+
+
+def test_solve_h_states_override():
+    """solve_h(states=...) diagonalizes exactly the given basis (the
+    exact-sampling CLI path passes the full training basis because exact
+    mode never feeds the sampled counter)."""
+    import numpy as np
+    from scipy.sparse.linalg import eigsh
+
+    import naqs_tpu as nq
+    from naqs_tpu.hamiltonian import assemble_sparse_hamiltonian_np
+    from naqs_tpu.models.nade import NAQSConfig
+    from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors)
+    tr = VMCTrainer(cfg, terms, h, TrainConfig(n_train=1, seed=5))
+    e0, nu = tr.solve_h(states=h.basis)
+    assert nu == len(h.basis)
+    H = assemble_sparse_hamiltonian_np(terms, np.sort(np.asarray(h.basis)))
+    w = np.linalg.eigvalsh(H.toarray())[0]
+    assert abs(e0 - w) < 1e-10
+    assert abs(e0 - mol.fci_energy) < 1e-8
