@@ -591,12 +591,13 @@ class VMCTrainer:
                     self.log["E"].append((self.n_steps, e))
                     out["e_exact"] = e
                 recent = [v for _, v in self.log["E_LOC"][-output_freq:]]
+                e_part = (f"E={out['e_exact']:.6f}, " if "e_exact" in out
+                          else "")
                 print(
                     f"step {self.n_steps}: <E_loc>={np.mean(recent):.6f} "
                     f"+/- {np.std(recent):.6f}, var={out['e_loc_var']:.6f}, "
                     f"unq={out['n_unique']}, n_samp={out['n_samples']:.2e}, "
-                    f"E={out.get('e_exact', float('nan')):.6f}, "
-                    f"t={out['time']*1000:.0f}ms",
+                    f"{e_part}t={out['time']*1000:.0f}ms",
                     flush=True,
                 )
             if save_freq and self.save_loc and self.n_steps % save_freq == 0:
