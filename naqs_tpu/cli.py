@@ -450,18 +450,35 @@ def _load_or_compile_terms(args, mol, n_exc):
         # carleo job (observed: carleo_lih converged to the zoo-LiH FCI).
         base = os.path.normpath(args.molecule).replace(os.sep, "__")
         cache = os.path.join("data", "terms_cache", f"{base}{tag}_terms.npz")
+    # content fingerprint: a pre-keyfix cache written by a different
+    # geometry under a colliding key silently trains against the WRONG
+    # Hamiltonian (observed: seeds_N2 loaded the carleo/N2 terms and
+    # produced E_loc below the zoo-N2 FCI). hf_energy pins the molecule
+    # identity to ~1e-12 Ha.
+    fp = float(getattr(mol, "hf_energy", 0.0) or 0.0)
     if args.loadH and cache and os.path.exists(cache):
         with np.load(cache) as z:
-            terms = PauliTerms(**{k: z[k] for k in z.files if k != "n_qubits"},
-                               n_qubits=int(z["n_qubits"]))
-        print(f"Loaded compiled terms from {cache}")
-        return terms
+            cached_fp = float(z["fingerprint"]) if "fingerprint" in z.files else None
+            if cached_fp is None or abs(cached_fp - fp) < 1e-9:
+                terms = PauliTerms(
+                    **{k: z[k] for k in z.files
+                       if k not in ("n_qubits", "fingerprint")},
+                    n_qubits=int(z["n_qubits"]))
+                if cached_fp is None:
+                    print(f"Loaded compiled terms from {cache} "
+                          "(no fingerprint — pre-guard cache)")
+                else:
+                    print(f"Loaded compiled terms from {cache}")
+                return terms
+            print(f"Cache {cache} fingerprint mismatch "
+                  f"({cached_fp} != {fp}); recompiling")
     terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits,
                                    n_excitations_max=n_exc)
     if args.overwriteH and cache:
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         np.savez(
-            cache, n_qubits=terms.n_qubits, diag_yz=terms.diag_yz,
+            cache, n_qubits=terms.n_qubits, fingerprint=fp,
+            diag_yz=terms.diag_yz,
             diag_coeff=terms.diag_coeff, xy=terms.xy, yz=terms.yz,
             coeff=terms.coeff, xy_unique=terms.xy_unique, gxy=terms.gxy,
             yz_unique=terms.yz_unique, gyz=terms.gyz,
