@@ -201,6 +201,17 @@ def build_jobs():
     jobs.append(("optimizers", _job(
         "opt_LiH_kfac", "LiH", 2000, extra=["-kfac", "-lr", "5e-2"],
     )))
+    # exact-mode variants: |psi|^2 weights over the full 225-state basis
+    # remove sampling noise from the optimizer comparison — and SR's
+    # sampled-mode pathology (the natural-gradient flow collapses the
+    # count-weighted distribution onto HF and fixates there; measured
+    # CPU: exact-mode SR passes HF by step ~450 and keeps descending)
+    for tag, extra in [("adam", []),
+                       ("sr", ["-sr", "-sr_damping", "1e-3", "-lr", "2e-2"]),
+                       ("kfac", ["-kfac", "-lr", "5e-2"])]:
+        jobs.append(("optimizers", _job(
+            f"opt_LiH_{tag}_exact", "LiH", 2000,
+            extra=["-exact_sampling"] + extra)))
 
     # --- phase "seeds": 5-seed production batches (reference batch_train.sh)
     for mol, n in [("LiH", 2500), ("H2O", 4000)]:
