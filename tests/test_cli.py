@@ -89,3 +89,26 @@ def test_cli_n_excitations_max(tmp_path):
     e0 = res["presolve_e0"]
     s = res["run_0"]
     assert s["fci_energy"] < e0 < s["hf_energy"]
+
+
+@pytest.mark.slow
+def test_terms_cache_fingerprint_guard(tmp_path):
+    """A cached terms file whose fingerprint does not match the molecule
+    (pre-keyfix collision, or hand-copied cache) must be recompiled, not
+    silently loaded (observed failure: seeds_N2 trained against the
+    carleo/N2 Hamiltonian via a stale basename-keyed cache)."""
+    import numpy as np
+
+    r = _run_cli(["-m", "H2", "-n_train", "5", "-s", "3", "-loadH",
+                  "-overwriteH", "-o", str(tmp_path / "a")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cache = tmp_path / "data" / "terms_cache" / "H2_terms.npz"
+    assert cache.exists()
+    z = dict(np.load(cache))
+    assert "fingerprint" in z
+    z["fingerprint"] = np.float64(-99.0)
+    np.savez(cache, **z)
+    r = _run_cli(["-m", "H2", "-n_train", "5", "-s", "3", "-loadH",
+                  "-o", str(tmp_path / "b")], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "fingerprint mismatch" in r.stdout
