@@ -139,10 +139,15 @@ def build_jobs():
     # — the same exact-mode + mid-run solve_H retarget that closed
     # H2O 6-31G. Run with --stall-secs >= 2000: the host eigsh is silent
     # for ~27 min.
+    # -save_freq 100 (argparse last-wins over PROD's 500): at ~6 s/step a
+    # 500-step checkpoint cadence is ~50 min — longer than the observed
+    # tunnel-stall interval, so attempts could loop without ever banking
+    # progress
     jobs.append(("zoo", _job(
         "li2o_x4", "Li2O", 2500,
         extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-pretrain_hf", "300", "-ws_solve_h", "1000"],
+               "-pretrain_hf", "300", "-ws_solve_h", "1000",
+               "-save_freq", "100"],
     )))
     # C2 sto-3g is strongly multireference (FCI-CCSD gap 16 mHa): give it
     # the solve_H warm-start protocol too
