@@ -139,15 +139,18 @@ def build_jobs():
     # — the same exact-mode + mid-run solve_H retarget that closed
     # H2O 6-31G. Run with --stall-secs >= 2000: the host eigsh is silent
     # for ~27 min.
-    # -save_freq 100 (argparse last-wins over PROD's 500): at ~6 s/step a
-    # 500-step checkpoint cadence is ~50 min — longer than the observed
-    # tunnel-stall interval, so attempts could loop without ever banking
-    # progress
+    # Exact-mode postmortem: the 644k-state exact step wedges the tunnel
+    # reproducibly within ~25 steps (two consecutive attempts; the sampled
+    # zoo_Li2O run trained 4000 steps at 1 s/step on the same chip), so
+    # the CISDTQ attack runs SAMPLED in the n_exc<=4 space, warm-started
+    # from the trained full-space zoo model, with the final solve_H over
+    # the top-200k sampled-counter states (the n_exc<=3 74k-state floor is
+    # only +3.5 mHa; ~1e5+ well-chosen states are needed for chem acc —
+    # scratch/probe_li2o_floor.py).
     jobs.append(("zoo", _job(
-        "li2o_x4", "Li2O", 2500,
-        extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-pretrain_hf", "300", "-ws_solve_h", "1000",
-               "-save_freq", "100"],
+        "li2o_x4", "Li2O", 2000, samp=SAMP_BIG,
+        extra=["-n_excitations_max", "4", "-save_freq", "100",
+               "-l", "data/fleet/zoo_Li2O", "-solve_h_kmax", "200000"],
     )))
     # C2 sto-3g is strongly multireference (FCI-CCSD gap 16 mHa): give it
     # the solve_H warm-start protocol too

@@ -86,6 +86,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "ground state of H restricted to the most-sampled "
                         "subspace (trap escape for near-degenerate strong-"
                         "correlation regimes), then continue training")
+    p.add_argument("-solve_h_kmax", type=int, default=10000,
+                   help="subspace size cap for the final solve_H (the "
+                        "reference's top-10000; large spaces benefit from "
+                        "a bigger sampled-support CI, e.g. Li2O's n_exc<=4 "
+                        "space needs ~1e5 states for chemical accuracy)")
     p.add_argument("-ws_epochs", type=int, default=500,
                    help="supervised fit epochs for the solve_H warm start "
                         "(the fit, not the eigensolve, bounds how close the "
@@ -381,6 +386,7 @@ def run(args=None) -> dict:
                     states=hilbert.basis, target_s2=target_s2)
             else:
                 e_fci_sub, n_unq = trainer.solve_h(n_samps=trainer.n_samples,
+                                                   k_max=args.solve_h_kmax,
                                                    target_s2=target_s2)
         except Exception as exc:
             print(f"(solve_H failed: {exc})")
