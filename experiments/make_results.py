@@ -210,6 +210,16 @@ def main(argv=None):
     if opt:
         A("## Optimizer ablation (LiH sto-3g, 2000 steps each)")
         A("")
+        A("Beyond the reference (its KFAC is dead code; SR is our addition).")
+        A("_exact rows train over the full 225-state basis with |psi|^2")
+        A("weights. Adam is robust in both modes; the natural-gradient")
+        A("methods are sensitive to the weighting distribution on this")
+        A("tiny-support problem: KFAC near-chem-acc sampled but HF-trapped")
+        A("in exact mode at lr 5e-2, SR HF-trapped sampled (the NG flow")
+        A("collapses the count-weighted distribution onto HF) and slowly")
+        A("converging in exact mode. Adam is the production optimizer, as")
+        A("in the reference.")
+        A("")
         A("| Optimizer | E (Ha) | FCI (Ha) | E-FCI (mHa) |")
         A("|---|---|---|---|")
         for k in sorted(opt):

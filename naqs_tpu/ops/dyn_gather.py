@@ -37,9 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 # alongside the index/output blocks. 512k rows = 4 MB of tables.
 TABLE_MAX = int(os.environ.get("NAQS_TPU_PALLAS_TABLE_MAX", 1 << 19))
 # gather mode: "auto" (TPU + table fits -> pallas), "xla", "pallas".
-# NOTE: default is flipped to "auto" only after the kernel is validated on
-# the target Mosaic version (the axon service has crashed on some dynamic-
-# gather programs); "xla" keeps the engine on the plain-gather path.
+# NOTE: "xla" stays the default because pallas_call cannot LOWER through
+# the tunneled axon backend available here — jax's lowering recurses to a
+# RecursionError both standalone and under an outer jit (measured
+# scratch/probe_pallas_chip3.py, jax 0.8.x + axon plugin); the kernel is
+# validated in interpret mode (tests/test_dyn_gather.py) and MODE=pallas
+# is intended for direct (non-tunneled) TPU runtimes. The practical loss
+# is small: the engine's dense-table row gather measured 1.01 G rows/s
+# in-program on the v5e via XLA (6.4 ms / 6.5M rows), and the dense
+# engine's P@A contraction, not the gather, now bounds E_loc throughput.
 MODE = os.environ.get("NAQS_TPU_GATHER", "xla")
 
 _LANE = 128
