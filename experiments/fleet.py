@@ -152,6 +152,18 @@ def build_jobs():
         extra=["-n_excitations_max", "4", "-save_freq", "100",
                "-l", "data/fleet/zoo_Li2O", "-solve_h_kmax", "200000"],
     )))
+    # ...whose counter support topped out at 5.9k distinct states (+4.9
+    # mHa CI). Final protocol: -ws_full_basis re-targets the model at the
+    # full 644k-state CISDTQ ground state, computed ENTIRELY ON HOST
+    # (assemble + eigsh with heartbeat prints), so sampled-mode training is
+    # the only device work. E0 = -87.891804 (+0.889 mHa) becomes the
+    # reported subspace CI; the polish then pulls E_loc toward it.
+    jobs.append(("zoo", _job(
+        "li2o_ws", "Li2O", 1200, samp=SAMP_BIG,
+        extra=["-n_excitations_max", "4", "-save_freq", "100",
+               "-l", "data/fleet/li2o_x4", "-ws_solve_h", "200",
+               "-ws_full_basis", "-ws_epochs", "1500"],
+    )))
     # C2 sto-3g is strongly multireference (FCI-CCSD gap 16 mHa): give it
     # the solve_H warm-start protocol too
     jobs.append(("zoo", _job("zoo_C2", "C2", 6000,

@@ -91,6 +91,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "reference's top-10000; large spaces benefit from "
                         "a bigger sampled-support CI, e.g. Li2O's n_exc<=4 "
                         "space needs ~1e5 states for chemical accuracy)")
+    p.add_argument("-ws_full_basis", action="store_true",
+                   help="warm-start against the ground state of the FULL "
+                        "(enumerable) training basis instead of the sampled "
+                        "counter subspace — all heavy linear algebra on "
+                        "host, so it composes with sampled-mode training "
+                        "on systems whose exact-mode device step is "
+                        "impractical (Li2O: 644k-state CISDTQ space)")
     p.add_argument("-ws_epochs", type=int, default=500,
                    help="supervised fit epochs for the solve_H warm start "
                         "(the fit, not the eigensolve, bounds how close the "
@@ -360,10 +367,15 @@ def run(args=None) -> dict:
             trainer.run(args.ws_solve_h - trainer.n_steps,
                         output_freq=args.output_freq,
                         log_exact_energy=log_exact, save_freq=save_freq)
+            ws_states = hilbert.basis if args.ws_full_basis else None
             e_sub, n_sub = trainer.warm_start_from_solve_h(
+                states=ws_states,
                 target_s2=target_s2, n_epochs=args.ws_epochs)
+            if args.ws_full_basis:
+                ws_e_sub = (e_sub, n_sub)
             print(f"solve_H warm start: subspace E0={e_sub:.6f} Ha over "
-                  f"{n_sub} most-sampled states", flush=True)
+                  f"{n_sub} " + ("basis" if args.ws_full_basis else
+                                 "most-sampled") + " states", flush=True)
             trainer.run(max(args.n_train - trainer.n_steps, 0),
                         output_freq=args.output_freq,
                         log_exact_energy=log_exact, save_freq=save_freq)
@@ -373,7 +385,8 @@ def run(args=None) -> dict:
         trainer.save()
 
         try:
-            if args.exact_sampling and ws_e_sub is not None:
+            if ws_e_sub is not None and (args.exact_sampling
+                                         or args.ws_full_basis):
                 # exact mode: the final "VMC+FCI" is the restricted-basis
                 # ground state, which depends only on (H, basis) — the
                 # warm-start eigensolve already computed it; reuse instead

@@ -40,6 +40,35 @@ from naqs_tpu.sampler import SampleBatch, sample, sample_density
 from naqs_tpu.utils.hilbert import Hilbert
 
 
+class _heartbeat:
+    """Context manager printing a keep-alive line every `interval` seconds
+    from a daemon thread. Long host-side solves (Li2O CISDTQ: ~9 min
+    assemble + ~18 min eigsh) are otherwise silent, and the fleet's
+    output-activity watchdog would kill the run mid-eigensolve."""
+
+    def __init__(self, msg: str, interval: float = 120.0):
+        self.msg, self.interval = msg, interval
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+        t0 = time.time()
+
+        def loop():
+            while not self._stop.wait(self.interval):
+                print(f"{self.msg} ({time.time() - t0:.0f}s elapsed)",
+                      flush=True)
+
+        self._th = threading.Thread(target=loop, daemon=True)
+        self._th.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        return False
+
+
 # ------------------------------------------------------------ optax transform
 
 def adaptive_trailing_clip(factor: float, memory: int = 50, init_max: float = 1e3):
@@ -814,7 +843,21 @@ class VMCTrainer:
             if nu > k_max:
                 top = np.argsort(counts)[-k_max:]
                 states = np.sort(states[top])
-        H = assemble_sparse_hamiltonian_np(self.terms, states)
+        with _heartbeat(f"solve_h warm start: assembling/diagonalizing "
+                        f"{len(states)} states"):
+            H = assemble_sparse_hamiltonian_np(self.terms, states)
+            e0, vec = self._lowest_state(H, states, target_s2)
+        keep = np.abs(vec) > select_min * np.abs(vec).max()
+        if keep.sum() < 2:  # degenerate fit target: fall back to all entries
+            keep = np.ones(len(vec), bool)
+        self.pre_train_targets(states[keep], vec[keep].astype(np.complex128),
+                               n_epochs, lr=lr)
+        return float(e0), len(states)
+
+    def _lowest_state(self, H, states, target_s2):
+        """(e0, eigenvector) of sparse H, optionally spin-selected."""
+        from scipy.sparse.linalg import eigsh
+
         if target_s2 is not None and H.shape[0] >= 3:
             # spin-resolved selection: the JW particle sector is an S_z
             # sector, and for stretched geometries non-target-spin states
@@ -837,12 +880,7 @@ class VMCTrainer:
         else:
             w, v = eigsh(H, k=1, which="SA")
             vec, e0 = v[:, 0], w[0]
-        keep = np.abs(vec) > select_min * np.abs(vec).max()
-        if keep.sum() < 2:  # degenerate fit target: fall back to all entries
-            keep = np.ones(len(vec), bool)
-        self.pre_train_targets(states[keep], vec[keep].astype(np.complex128),
-                               n_epochs, lr=lr)
-        return float(e0), len(states)
+        return e0, vec
 
     def pre_train_hf(self, n_epochs: int, lr: float = 5e-3):
         """BCE pre-training towards the Hartree-Fock state (pre_train with
@@ -900,17 +938,18 @@ class VMCTrainer:
                 top = np.argsort(counts)[-k_max:]
                 states = np.sort(states[top])
             nu = len(states)
-        H = assemble_sparse_hamiltonian_np(self.terms, states)
-        if H.shape[0] < 3:
-            w = np.linalg.eigvalsh(H.toarray())
-            return float(w[0]), nu
-        if target_s2 is not None:
-            from naqs_tpu.utils.spin import lowest_eig_with_spin
+        with _heartbeat(f"solve_h: assembling/diagonalizing {nu} states"):
+            H = assemble_sparse_hamiltonian_np(self.terms, states)
+            if H.shape[0] < 3:
+                w = np.linalg.eigvalsh(H.toarray())
+                return float(w[0]), nu
+            if target_s2 is not None:
+                from naqs_tpu.utils.spin import lowest_eig_with_spin
 
-            e0, _vec, _s2, _idx = lowest_eig_with_spin(
-                H, states, self.hilbert.n_qubits, target_s2=target_s2)
-            return float(e0), nu
-        w = eigsh(H, k=1, which="SA")[0]
+                e0, _vec, _s2, _idx = lowest_eig_with_spin(
+                    H, states, self.hilbert.n_qubits, target_s2=target_s2)
+                return float(e0), nu
+            w = eigsh(H, k=1, which="SA")[0]
         return float(w[0]), nu
 
     def save_log(self, fname: str = "log"):
