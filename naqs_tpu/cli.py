@@ -334,7 +334,6 @@ def run(args=None) -> dict:
         # profiled steps count towards the budget so the two-phase LR boundary
         # stays where a non-profiled run would put it
         n_remaining = max(args.n_train - trainer.n_steps, 0)
-        ws_e_sub = None  # (E0, n) of the exact-mode full-basis solve, if run
         if args.exact_sampling:
             if args.ws_solve_h > 0 and trainer.n_steps < args.ws_solve_h:
                 trainer.run_exact(args.ws_solve_h - trainer.n_steps,
@@ -352,7 +351,6 @@ def run(args=None) -> dict:
                     n_epochs=args.ws_epochs)
                 print(f"solve_H warm start (exact mode): E0={e_sub:.6f} Ha "
                       f"over {n_sub} basis states", flush=True)
-                ws_e_sub = (e_sub, n_sub)
             trainer.run_exact(max(args.n_train - trainer.n_steps, 0),
                               output_freq=args.output_freq,
                               save_freq=save_freq)
@@ -371,8 +369,6 @@ def run(args=None) -> dict:
             e_sub, n_sub = trainer.warm_start_from_solve_h(
                 states=ws_states,
                 target_s2=target_s2, n_epochs=args.ws_epochs)
-            if args.ws_full_basis:
-                ws_e_sub = (e_sub, n_sub)
             print(f"solve_H warm start: subspace E0={e_sub:.6f} Ha over "
                   f"{n_sub} " + ("basis" if args.ws_full_basis else
                                  "most-sampled") + " states", flush=True)
@@ -385,13 +381,14 @@ def run(args=None) -> dict:
         trainer.save()
 
         try:
-            if ws_e_sub is not None and (args.exact_sampling
-                                         or args.ws_full_basis):
-                # exact mode: the final "VMC+FCI" is the restricted-basis
-                # ground state, which depends only on (H, basis) — the
-                # warm-start eigensolve already computed it; reuse instead
-                # of repeating a potentially ~20-min host eigsh (Li2O).
-                e_fci_sub, n_unq = ws_e_sub
+            # full-basis warm-start result (persisted in the checkpoint, so
+            # a watchdog-resumed run still reports it): the restricted-basis
+            # ground state depends only on (H, basis) — reuse instead of
+            # repeating a potentially ~25-min host eigsh (Li2O).
+            if trainer.ws_result is not None and (args.exact_sampling
+                                                  or args.ws_full_basis):
+                e_fci_sub, n_unq = trainer.ws_result
+                n_unq = int(n_unq)
             elif args.exact_sampling:
                 # exact mode never feeds the sampled counter; solve over
                 # the full (enumerable) training basis

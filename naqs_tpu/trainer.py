@@ -341,6 +341,10 @@ class VMCTrainer:
         # top-k subspace (reference Counter at energy.py:137,300,762-786)
         self.sampled_counter: dict[int, float] = {}
         self.d_p = 1e-8  # density-sampling threshold (run_density)
+        # (E0, n_states) of the last solve_H warm start; persisted so a
+        # resumed run can still report the (deterministic) subspace CI
+        # instead of silently falling back to the counter top-k
+        self.ws_result: Optional[tuple] = None
 
     # recording every step costs a device->host transfer over the (high-
     # latency) tunnel; the top-k-most-sampled statistic is insensitive to
@@ -852,6 +856,7 @@ class VMCTrainer:
             keep = np.ones(len(vec), bool)
         self.pre_train_targets(states[keep], vec[keep].astype(np.complex128),
                                n_epochs, lr=lr)
+        self.ws_result = (float(e0), len(states))
         return float(e0), len(states)
 
     def _lowest_state(self, H, states, target_s2):
@@ -1001,6 +1006,7 @@ class VMCTrainer:
             "run_time": self.run_time,
             "n_samples": self.n_samples,
             "d_p": self.d_p,
+            "ws_result": self.ws_result,
             "prng_key": np.asarray(jax.random.key_data(self.key)).tolist(),
             "log": {k: v for k, v in self.log.items()},
         }
@@ -1041,6 +1047,8 @@ class VMCTrainer:
             self.run_time = meta["run_time"]
             self.n_samples = meta["n_samples"]
             self.d_p = meta.get("d_p", self.d_p)
+            ws = meta.get("ws_result")
+            self.ws_result = tuple(ws) if ws else None
             if "prng_key" in meta:
                 # resume the sample stream where the interrupted run left it
                 self.key = jax.random.wrap_key_data(
