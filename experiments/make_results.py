@@ -94,7 +94,8 @@ def main(argv=None):
         "zoo_PH3": "PH3 sto-3g", "zoo_LiF": "LiF sto-3g",
         "zoo_C2": "C2 sto-3g", "zoo_LiCl": "LiCl sto-3g (28q, 1.0M states)",
         "zoo_Li2O": "Li2O sto-3g (30q, 41.4M states, sampled)",
-        "li2o_x4": "Li2O sto-3g (30q, CISDTQ-exact protocol)",
+        "li2o_x4": "Li2O sto-3g (30q, CISDTQ space, sampled)",
+        "li2o_ws": "Li2O sto-3g (30q, CISDTQ full-basis warm start)",
     }
     for k, lab in zoo_labels.items():
         if k in S:
