@@ -966,8 +966,9 @@ class VMCTrainer:
         return _save_log(self.log, os.path.join(self.save_loc, fname))
 
     # -- checkpointing
-    # counter entries persisted per checkpoint; solve_h uses at most the
-    # top-10k, so the top-200k truncation is far beyond loss-free
+    # counter entries persisted per checkpoint; matches the largest
+    # -solve_h_kmax in production use (Li2O's top-200k CI), so the
+    # truncation is loss-free for every configured solve
     COUNTER_SAVE_MAX = 200_000
 
     def save(self, fname: str = "checkpoint"):
