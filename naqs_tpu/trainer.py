@@ -822,6 +822,7 @@ class VMCTrainer:
         """
         from scipy.sparse.linalg import eigsh
 
+        explicit_states = states is not None
         if states is not None:
             # explicit subspace (e.g. the full basis in exact-sampling
             # mode, where no sampled counter exists)
@@ -856,7 +857,11 @@ class VMCTrainer:
             keep = np.ones(len(vec), bool)
         self.pre_train_targets(states[keep], vec[keep].astype(np.complex128),
                                n_epochs, lr=lr)
-        self.ws_result = (float(e0), len(states))
+        if explicit_states:
+            # only explicit-subspace (full-basis) solves are reusable as
+            # the final "VMC+FCI": a counter-subspace E0 is tied to the
+            # moment's sampled support and must not survive a mode change
+            self.ws_result = (float(e0), len(states))
         return float(e0), len(states)
 
     def _lowest_state(self, H, states, target_s2):
