@@ -112,3 +112,31 @@ def test_terms_cache_fingerprint_guard(tmp_path):
                   "-o", str(tmp_path / "b")], cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "fingerprint mismatch" in r.stdout
+
+
+@pytest.mark.slow
+def test_ws_full_basis_and_resume_reports_subspace_ci(tmp_path):
+    """-ws_full_basis re-targets against the full-basis ground state and
+    the final summary reports that eigensolve as VMC+FCI — including after
+    a resume, via the checkpointed ws_result (a watchdog-killed Li2O run
+    must not silently fall back to the counter top-k)."""
+    import json
+
+    out = tmp_path / "run"
+    r = _run_cli(["-m", "H2", "-n_train", "80", "-s", "3", "-ws_solve_h",
+                  "40", "-ws_full_basis", "-save_freq", "20",
+                  "-o", str(out)], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = json.load(open(out / "checkpoint.json"))
+    assert ckpt["ws_result"] is not None
+    s1 = json.load(open(out / "summary.json"))
+    assert s1["n_unique_final"] == 4  # H2 restricted basis
+    # resume past the warm-start step: ws must NOT re-run, yet the summary
+    # still carries the full-basis eigensolve
+    r = _run_cli(["-m", "H2", "-n_train", "120", "-s", "3", "-ws_solve_h",
+                  "40", "-ws_full_basis", "-o", str(out), "-c"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s2 = json.load(open(out / "summary.json"))
+    assert s2["n_unique_final"] == 4
+    assert abs(s2["e_vmc_fci_subspace"] - s1["e_vmc_fci_subspace"]) < 1e-12
+    assert abs(s2["e_vmc_fci_subspace"] - s2["fci_energy"]) < 1e-8
