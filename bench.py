@@ -14,9 +14,47 @@ import time
 import numpy as np
 
 
+def _wait_for_device(deadline_s: float = 1500.0) -> bool:
+    """The tunneled chip has multi-hour outages (observed 2026-08-17,
+    ~3 h); probe a trivial op in a subprocess (a hung probe cannot be
+    cancelled in-process) and retry until the deadline so a transient
+    outage doesn't hang the whole benchmark run forever."""
+    import subprocess
+    import sys
+
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        budget = min(120.0, max(5.0, deadline_s - (time.time() - t0)))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(int(jnp.arange(4).sum()))"],
+                timeout=budget, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and r.stdout.strip() == "6":
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(60)
+    return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if not _wait_for_device():
+        print(json.dumps({
+            "metric": "N2_local_energy_states_per_sec_per_chip",
+            "value": 0,
+            "unit": "states/s",
+            "vs_baseline": 0,
+            "error": "device unreachable (tunnel outage) after 25 min of "
+                     "retries; last good measurement this round: 4.22M "
+                     "states/s at M=8192 (352x), 16.1M at M=65536 — see "
+                     "RESULTS.md / docs/ENGINE_NOTES.md",
+        }))
+        return
 
     import naqs_tpu as nq
     from naqs_tpu.hamiltonian import local_energy_np
