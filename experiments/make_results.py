@@ -258,6 +258,15 @@ def main(argv=None):
     A("round-1 verified E = -107.443448 Ha, 0.17 mHa from the exact sector")
     A("ground state and 10.6 mHa BELOW the stored singlet FCI. The same")
     A("protocol now runs automatically for r >= 1.5 via -ws_solve_h.")
+    A("")
+    A("Round-3 finding: at r = 2.25 even exact-mode training with repeated")
+    A("full-sector eigenvector re-targeting (500- and 3000-epoch fits)")
+    A("drains back into the <S^2>=12 eigenstate at -107.41888 (a zero-")
+    A("variance, zero-gradient fixed point 24.7 mHa above the singlet; the")
+    A("supervised fit lands ~38 mHa high and VMC flows to the simpler sign")
+    A("structure). The r=2.25 deliverable is therefore the subspace CI,")
+    A("which matches the verified sector ground state to 1e-11 Ha; every")
+    A("other curve point reaches direct chemical accuracy.")
     out = "\n".join(L) + "\n"
     with open(args.out, "w") as f:
         f.write(out)
