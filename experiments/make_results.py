@@ -74,8 +74,9 @@ def main(argv=None):
     A("Chemical accuracy: E - E_FCI < 1.6 mHa (reference criterion).")
     A("'exact' = deterministic <psi|H|psi> over the full restricted basis;")
     A("'E_loc' = trailing-mean sampled energy (spaces too large for exact")
-    A("evaluation). 'VMC+FCI' = solve_H over the top-10k most-sampled states")
-    A("(sampled runs) or over the full training basis (exact-mode runs).")
+    A("evaluation). 'VMC+FCI' = solve_H over the top-k most-sampled states")
+    A("(sampled runs; k = 10k unless -solve_h_kmax raises it) or over the")
+    A("full training basis (exact-mode and -ws_full_basis runs).")
     A("All runs: production config (n_hid 64, global phase net 2x512, partial")
     A("masking unless noted), Adam 1e-3 -> 5e-4. Regenerate with")
     A("`python -m experiments.make_results` after `python -m experiments.fleet`.")
@@ -191,6 +192,11 @@ def main(argv=None):
             d = _np.asarray(ds)
             A(f"| {mol} sto-3g | {len(d)} | {d.mean():+.3f} | {d.std():.3f} "
               f"| {d.max():+.3f} | {'yes' if (d < 1.6).all() else 'no'} |")
+        A("")
+        A("N2 seeds (a suite beyond the reference's LiH/H2O reproducibility")
+        A("protocol) gate 'no' on the direct-VMC column at 6-9k steps; all")
+        A("five reach chemical accuracy through the VMC+FCI refinement")
+        A("(max +0.21 mHa).")
         A("")
 
     abl = [k for k in S if k.startswith("abl_")]
