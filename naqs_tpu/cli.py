@@ -109,6 +109,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "is an S_z sector, and at stretched geometries "
                         "other-spin states can drop below the target-spin "
                         "ground state (utils/spin.py). -1 = off")
+    p.add_argument("-s2_penalty", type=float, default=0.0,
+                   help="train on H + lambda*S^2 instead of H (singlet "
+                        "targets only): lifts spin-contaminated fixed "
+                        "points out of the variational minimum while "
+                        "leaving every singlet eigenvalue unchanged. "
+                        "Reported energies stay pure <H>. 0 = off")
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")
     p.add_argument("-sample_dP", type=float, default=-1,
@@ -252,6 +258,18 @@ def run(args=None) -> dict:
         )
 
         terms = _load_or_compile_terms(args, mol, n_exc)
+        train_terms = None
+        if args.s2_penalty > 0:
+            # spin-penalty training operator H + lam * S^2 (singlet target);
+            # `terms` stays pure H for solve_H / exact-energy reporting
+            from naqs_tpu.utils.spin import penalized_termdict
+
+            td = penalized_termdict(mol.qubit_hamiltonian, mol.n_qubits,
+                                    args.s2_penalty)
+            train_terms = nq.compile_pauli_terms(td, mol.n_qubits,
+                                                 n_excitations_max=n_exc)
+            print(f"S^2 penalty: training on H + {args.s2_penalty}*S^2 "
+                  f"({len(td)} merged Pauli terms)")
 
         use_default_schedule = args.lr < 0
         tc = TrainConfig(
@@ -276,7 +294,7 @@ def run(args=None) -> dict:
 
         n_dev = args.devices if args.devices > 0 else len(_jax.devices())
         trainer = VMCTrainer(cfg, terms, hilbert, tc, save_loc=out_dir,
-                             n_devices=n_dev)
+                             n_devices=n_dev, train_terms=train_terms)
         print(f"Model parameters: {count_parameters(trainer.params)}")
         target_s2 = (args.ws_spin * (args.ws_spin + 1.0)
                      if args.ws_spin >= 0 else None)

@@ -291,12 +291,20 @@ class VMCTrainer:
         train_cfg: TrainConfig = TrainConfig(),
         save_loc: Optional[str] = None,
         n_devices: int = 1,
+        train_terms: Optional[PauliTerms] = None,
     ):
         self.cfg = model_cfg
         self.tc = train_cfg
         self.hilbert = hilbert
         self.terms = terms
-        self.dt = DeviceTerms.from_terms(terms, hilbert=hilbert)
+        # `train_terms` (when given) is the TRAINING operator — e.g.
+        # H + lam * S^2 for spin-penalty runs (utils/spin.penalized_termdict).
+        # `terms` stays the physical H: solve_h / warm starts assemble from
+        # it, and exact_energy() reports pure <H> via dt_h.
+        self.dt = DeviceTerms.from_terms(
+            terms if train_terms is None else train_terms, hilbert=hilbert)
+        self.dt_h = (self.dt if train_terms is None
+                     else DeviceTerms.from_terms(terms, hilbert=hilbert))
         self.optimizer = train_cfg.make_optimizer(has_lut=model_cfg.num_lut > 0)
         self.key = jax.random.key(train_cfg.seed)
         self.key, k0 = jax.random.split(self.key)
@@ -618,7 +626,7 @@ class VMCTrainer:
             if (self.n_steps % output_freq == 0) or self.n_steps == 1:
                 if log_exact_energy:
                     e = float(
-                        exact_energy(self.cfg, self.params, self.dt,
+                        exact_energy(self.cfg, self.params, self.dt_h,
                                      jnp.asarray(self.hilbert.basis))
                     )
                     self.log["E"].append((self.n_steps, e))
@@ -906,8 +914,10 @@ class VMCTrainer:
 
     # -- evaluation
     def exact_energy(self) -> float:
+        # dt_h: always the physical H, even when training on a penalized
+        # operator (dt = H + lam * S^2)
         return float(
-            exact_energy(self.cfg, self.params, self.dt, jnp.asarray(self.hilbert.basis))
+            exact_energy(self.cfg, self.params, self.dt_h, jnp.asarray(self.hilbert.basis))
         )
 
     def solve_h(self, n_samps: Optional[float] = None, k_max: int = 10000,

@@ -70,6 +70,28 @@ def s_squared_termdict(n_spatial: int, threshold: float = 1e-12):
     return _symplectic_to_termdict(acc, threshold)
 
 
+def penalized_termdict(h_td, n_qubits: int, lam: float,
+                       threshold: float = 1e-12):
+    """Merged Pauli-term dict of H + lam * S^2 (spin-penalty training).
+
+    Energy-minimizing VMC in an S_z sector legitimately converges onto
+    spin-contaminated eigenstates when they lie below the singlet (stretched
+    N2: the <S^2>=12 state is a zero-variance, zero-gradient fixed point
+    24.7 mHa above the singlet — RESULTS.md "strong correlation"). Adding
+    lam * S^2 leaves every singlet eigenvalue untouched while lifting an
+    S^2 = s(s+1) contaminant by lam * s(s+1), so for lam > 0 the variational
+    minimum of <H + lam S^2> IS the singlet ground energy. The reference has
+    no counterpart (it reports the trapped energies). Training uses the
+    merged operator; reporting still evaluates pure <H> (trainer.dt_h).
+
+    Only correct for *singlet* targets: lam * S^2 biases towards S = 0.
+    """
+    out = dict(h_td)
+    for k, v in s_squared_termdict(n_qubits // 2, threshold).items():
+        out[k] = out.get(k, 0.0) + lam * v
+    return {k: v for k, v in out.items() if abs(v) >= threshold}
+
+
 def s_squared_sparse(basis: np.ndarray, n_qubits: int):
     """Sparse S^2 matrix over the given (sorted, packed-uint64) basis."""
     from naqs_tpu.hamiltonian import (

@@ -4,7 +4,8 @@ import numpy as np
 
 import naqs_tpu as nq
 from naqs_tpu.hamiltonian import assemble_sparse_hamiltonian_np
-from naqs_tpu.utils.spin import lowest_eig_with_spin, s_squared_sparse
+from naqs_tpu.utils.spin import (
+    lowest_eig_with_spin, penalized_termdict, s_squared_sparse)
 
 
 def test_s_squared_spectrum_is_integral_on_lih_sector():
@@ -35,3 +36,26 @@ def test_singlet_selection_matches_fci_on_lih():
     assert abs(s2_list[0]) < 1e-6
     # and the first excited state in the sector is a triplet component
     assert abs(s2_list[1] - 2.0) < 1e-6
+
+
+def test_penalized_termdict_assembles_to_h_plus_lam_s2():
+    """compile(H_td + lam*S2_td) must equal assemble(H) + lam * S2 exactly
+    (matrix identity over a sector basis) — validates the -s2_penalty
+    training operator end to end through the term compiler."""
+    lam = 0.7
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    basis = np.sort(np.asarray(h.basis, dtype=np.uint64))
+    td = penalized_termdict(mol.qubit_hamiltonian, mol.n_qubits, lam)
+    terms_p = nq.compile_pauli_terms(td, mol.n_qubits)
+    Hp = assemble_sparse_hamiltonian_np(terms_p, basis).toarray()
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    H = assemble_sparse_hamiltonian_np(terms, basis).toarray()
+    S2 = s_squared_sparse(basis, mol.n_qubits).toarray()
+    assert np.abs(Hp - (H + lam * S2)).max() < 1e-9
+    # spectrum property the penalty run relies on: every singlet eigenvalue
+    # is unchanged, every contaminant is lifted by lam * s(s+1)
+    w, v = np.linalg.eigh(H)
+    s2_diag = np.einsum("ij,ij->j", v, S2 @ v)
+    wp = np.linalg.eigvalsh(Hp)
+    assert np.abs(np.sort(w + lam * s2_diag) - wp).max() < 1e-8
