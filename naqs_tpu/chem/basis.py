@@ -148,6 +148,111 @@ def universal_expansion(shell: str) -> Tuple[Tuple[float, ...], Dict[str, Tuple[
     return tuple(float(a) for a in alphas), coeffs
 
 
+# ---------------------------------------------------------------------------
+# Explicitly-tabulated basis sets beyond STO-3G.
+#
+# STO-3G above is RECONSTRUCTED (Slater refit); 6-31G and the Dunning
+# correlation-consistent sets are *defined* by their published primitive
+# tables (Hehre, Ditchfield, Pople, J. Chem. Phys. 56, 2257 (1972);
+# Dunning, J. Chem. Phys. 90, 1007 (1989)) — standard public scientific
+# data, transcribed here and validated against the stored Psi4 baselines
+# (tests/test_generate.py: HF/MP2/FCI to ~1e-6 Ha).
+#
+# Format: {basis: {element: [(l_token, ((exp, coeff...), ...)), ...]}}
+# where l_token in {"s", "p", "d", "sp"}; "sp" rows carry (exp, c_s, c_p).
+EXPLICIT_BASES: Dict[str, Dict[str, list]] = {
+    "6-31g": {
+        "H": [
+            ("s", ((18.7311370, 0.03349460),
+                   (2.8253937, 0.23472695),
+                   (0.6401217, 0.81375733))),
+            ("s", ((0.1612778, 1.0),)),
+        ],
+        "C": [
+            ("s", ((3047.5249, 0.0018347), (457.36951, 0.0140373),
+                   (103.94869, 0.0688426), (29.210155, 0.2321844),
+                   (9.2866630, 0.4679413), (3.1639270, 0.3623120))),
+            ("sp", ((7.8682724, -0.1193324, 0.0689991),
+                    (1.8812885, -0.1608542, 0.3164240),
+                    (0.5442493, 1.1434564, 0.7443083))),
+            ("sp", ((0.1687144, 1.0, 1.0),)),
+        ],
+        "N": [
+            ("s", ((4173.5110, 0.0018348), (627.45790, 0.0139950),
+                   (142.90210, 0.0685870), (40.234330, 0.2322410),
+                   (12.820210, 0.4690700), (4.3904370, 0.3604550))),
+            ("sp", ((11.626358, -0.1149610, 0.0675797),
+                    (2.7162800, -0.1691180, 0.3239070),
+                    (0.7722180, 1.1458520, 0.7408950))),
+            ("sp", ((0.2120313, 1.0, 1.0),)),
+        ],
+        "O": [
+            ("s", ((5484.6717, 0.0018311), (825.23495, 0.0139501),
+                   (188.04696, 0.0684451), (52.964500, 0.2327143),
+                   (16.897570, 0.4701930), (5.7996353, 0.3585209))),
+            ("sp", ((15.539616, -0.1107775, 0.0708743),
+                    (3.5999336, -0.1480263, 0.3397528),
+                    (1.0137618, 1.1307670, 0.7271586))),
+            ("sp", ((0.2700058, 1.0, 1.0),)),
+        ],
+    },
+    "cc-pvdz": {
+        "H": [
+            ("s", ((13.0100, 0.0196850), (1.9620, 0.1379770),
+                   (0.4446, 0.4781480))),
+            ("s", ((0.1220, 1.0),)),
+            ("p", ((0.7270, 1.0),)),
+        ],
+    },
+    "cc-pvtz": {
+        "H": [
+            ("s", ((33.8700, 0.0060680), (5.0950, 0.0453080),
+                   (1.1590, 0.2028220))),
+            ("s", ((0.3258, 1.0),)),
+            ("s", ((0.1027, 1.0),)),
+            ("p", ((1.4070, 1.0),)),
+            ("p", ((0.3880, 1.0),)),
+            ("d", ((1.0570, 1.0),)),
+        ],
+    },
+}
+
+_P_LMN = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+# cartesian d order used throughout (the spherical transform in
+# integrals.py depends on it): xx, yy, zz, xy, xz, yz
+_D_LMN = ((2, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 0), (1, 0, 1), (0, 1, 1))
+
+
+def _explicit_atom_basis(table: list, center: np.ndarray
+                         ) -> List[ContractedGaussian]:
+    out: List[ContractedGaussian] = []
+    for l_token, prims in table:
+        prims = np.asarray(prims, dtype=np.float64)
+        alphas = prims[:, 0]
+        if l_token == "s":
+            out.append(ContractedGaussian(center, (0, 0, 0), alphas,
+                                          prims[:, 1]))
+        elif l_token == "p":
+            for lmn in _P_LMN:
+                out.append(ContractedGaussian(center, lmn, alphas,
+                                              prims[:, 1]))
+        elif l_token == "sp":
+            out.append(ContractedGaussian(center, (0, 0, 0), alphas,
+                                          prims[:, 1]))
+            for lmn in _P_LMN:
+                out.append(ContractedGaussian(center, lmn, alphas,
+                                              prims[:, 2]))
+        elif l_token == "d":
+            # cartesian d sextet; spherical reduction (6 -> 5, dropping the
+            # s-contaminant) happens at the integral level (integrals.py)
+            for lmn in _D_LMN:
+                out.append(ContractedGaussian(center, lmn, alphas,
+                                              prims[:, 1]))
+        else:
+            raise ValueError(f"unknown shell token {l_token!r}")
+    return out
+
+
 _SHELL_OF_INDEX = {0: "1s", 1: "2sp", 2: "3sp"}
 
 
@@ -157,9 +262,18 @@ def element_shells(symbol: str) -> List[Tuple[str, float]]:
     return [(_SHELL_OF_INDEX[i], z) for i, z in enumerate(zetas)]
 
 
-def build_atom_basis(symbol: str, center: np.ndarray) -> List[ContractedGaussian]:
-    """STO-3G AO functions for one atom: s function per shell + p triple
-    for sp shells, in the conventional (s, px, py, pz) order."""
+def build_atom_basis(symbol: str, center: np.ndarray,
+                     basis_name: str = "sto-3g") -> List[ContractedGaussian]:
+    """AO functions for one atom: the reconstructed STO-3G by default, or
+    an explicitly-tabulated set (6-31G, cc-pVDZ, ...) from EXPLICIT_BASES."""
+    key = basis_name.lower()
+    if key != "sto-3g":
+        table = EXPLICIT_BASES.get(key, {}).get(symbol)
+        if table is None:
+            raise ValueError(
+                f"basis {basis_name!r} not tabulated for element {symbol!r} "
+                f"(available: {sorted(EXPLICIT_BASES.get(key, {}))})")
+        return _explicit_atom_basis(table, np.asarray(center))
     out: List[ContractedGaussian] = []
     for shell, zeta in element_shells(symbol):
         alphas_u, coeffs = universal_expansion(shell)
@@ -175,9 +289,9 @@ def build_atom_basis(symbol: str, center: np.ndarray) -> List[ContractedGaussian
     return out
 
 
-def build_basis(symbols: Sequence[str], centers_bohr: np.ndarray
-                ) -> List[ContractedGaussian]:
+def build_basis(symbols: Sequence[str], centers_bohr: np.ndarray,
+                basis_name: str = "sto-3g") -> List[ContractedGaussian]:
     basis: List[ContractedGaussian] = []
     for sym, cen in zip(symbols, centers_bohr):
-        basis.extend(build_atom_basis(sym, np.asarray(cen)))
+        basis.extend(build_atom_basis(sym, np.asarray(cen), basis_name))
     return basis

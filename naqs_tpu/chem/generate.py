@@ -45,23 +45,25 @@ def generate_molecule_data(
     name: Optional[str] = None,
     do_fci: bool = True,
     fci_max_states: int = 2_000_000,
+    basis_name: str = "sto-3g",
 ) -> dict:
     """Run the full pipeline; returns the field dict written to hdf5."""
     from naqs_tpu.chem.scf import rhf, rohf
 
     positions_angstrom = np.asarray(positions_angstrom, dtype=np.float64)
     if multiplicity == 1:
-        r = rhf(symbols, positions_angstrom, charge=charge)
+        r = rhf(symbols, positions_angstrom, charge=charge,
+                basis_name=basis_name)
     else:
         # open shell (O2/CH2 in the reference zoo): Guest-Saunders ROHF —
         # one spatial-orbital set, so the JW mapping below is unchanged
         r = rohf(symbols, positions_angstrom, charge=charge,
-                 multiplicity=multiplicity)
+                 multiplicity=multiplicity, basis_name=basis_name)
     n_orbitals = r.one_body_mo.shape[0]
     n_qubits = 2 * n_orbitals
     out = {
         "name": name or "".join(symbols),
-        "basis": "sto-3g",
+        "basis": basis_name,
         "n_qubits": n_qubits,
         "n_orbitals": n_orbitals,
         "n_electrons": r.n_electrons,
@@ -186,6 +188,10 @@ def main(argv=None):
     p.add_argument("--multiplicity", type=int, default=1,
                    help="2S+1; >1 selects the ROHF open-shell path")
     p.add_argument("--name", default=None)
+    p.add_argument("--basis", default="sto-3g",
+                   help="sto-3g (reconstructed), or an explicitly-tabulated "
+                        "set: 6-31g, cc-pvdz, cc-pvtz (chem/basis.py "
+                        "EXPLICIT_BASES)")
     p.add_argument("--out", required=True, help="output molecule folder")
     p.add_argument("--no-fci", action="store_true",
                    help="skip the exact-diagonalization FCI baseline")
@@ -204,7 +210,7 @@ def main(argv=None):
 
     data = generate_molecule_data(
         symbols, pos, charge=args.charge, multiplicity=args.multiplicity,
-        name=args.name,
+        name=args.name, basis_name=args.basis,
         do_fci=not args.no_fci, fci_max_states=args.fci_max_states)
     path = write_molecule_dir(data, args.out)
     print(f"wrote {path}")

@@ -102,6 +102,7 @@ def rhf(
     conv: float = 1e-11,
     diis_len: int = 8,
     n_guesses: int = 3,
+    basis_name: str = "sto-3g",
 ) -> RHFResult:
     """Closed-shell RHF with DIIS, then the MO-basis integral transform.
 
@@ -120,7 +121,7 @@ def rhf(
         raise ValueError("rhf() handles closed shells only (even electrons)")
     n_occ = n_elec // 2
 
-    basis = build_basis(symbols, centers)
+    basis = build_basis(symbols, centers, basis_name)
     s_mat, t_mat, v_mat, g = build_integrals(basis, charges, centers)
     h_core = t_mat + v_mat
     e_nuc = nuclear_repulsion(charges, centers)
@@ -191,6 +192,7 @@ def rohf(
     conv: float = 1e-11,
     diis_len: int = 8,
     n_guesses: int = 3,
+    basis_name: str = "sto-3g",
 ) -> RHFResult:
     """Restricted open-shell HF (Guest-Saunders effective Fock) + MO
     transform — the open-shell half of the Psi4 replacement (the reference
@@ -211,7 +213,7 @@ def rohf(
     n_beta = (n_elec - n_open) // 2
     n_alpha = n_beta + n_open
 
-    basis = build_basis(symbols, centers)
+    basis = build_basis(symbols, centers, basis_name)
     s_mat, t_mat, v_mat, g = build_integrals(basis, charges, centers)
     h_core = t_mat + v_mat
     e_nuc = nuclear_repulsion(charges, centers)

@@ -56,3 +56,52 @@ def test_generate_cli_smoke(tmp_path):
     mol = nq.load_molecule(out)
     assert mol.fci_energy is not None
     assert mol.fci_energy < mol.hf_energy < 0
+
+
+def test_generate_h2_631g_matches_reference_data(tmp_path):
+    """Explicitly-tabulated 6-31G (chem/basis.py EXPLICIT_BASES): the
+    generated HF matches the stored Psi4 value to machine precision and the
+    FCI to <1e-8 Ha. (Stored mp2_energy is Psi4 *DF*-MP2 — fitted-integral
+    MP2 differs from our conventional MP2 by ~1.5e-5 Ha even though HF
+    agrees to 1e-15, so MP2 gets a looser gate.)"""
+    syms, pos = _stored_geometry("H2_6-31G")
+    stored = nq.load_molecule("H2_6-31G")
+    data = generate_molecule_data(syms, pos, basis_name="6-31g")
+    assert abs(data["hf_energy"] - stored.hf_energy) < 1e-9
+    assert abs(data["fci_energy"] - stored.fci_energy) < 1e-8
+    assert abs(data["mp2_energy"] - stored.mp2_energy) < 5e-5
+    out = write_molecule_dir(data, str(tmp_path / "H2_631G_gen"))
+    mol = nq.load_molecule(str(tmp_path / "H2_631G_gen"))
+    assert mol.n_qubits == stored.n_qubits == 8
+    assert abs(mol.fci_energy - stored.fci_energy) < 1e-8
+
+
+def test_generate_h2_ccpvdz_matches_reference_data():
+    syms, pos = _stored_geometry("H2_cc-pvdz")
+    stored = nq.load_molecule("H2_cc-pvdz")
+    data = generate_molecule_data(syms, pos, basis_name="cc-pvdz")
+    assert data["n_qubits"] == stored.n_qubits == 20
+    assert abs(data["hf_energy"] - stored.hf_energy) < 1e-9
+    assert abs(data["fci_energy"] - stored.fci_energy) < 1e-8
+
+
+def test_generate_h2o_631g_scf_and_cisd_match_stored():
+    """13-AO polyatomic 6-31G: HF to 1e-9, CISD (n_exc<=2 sector
+    diagonalization of our JW operator) to 1e-8 vs stored Psi4."""
+    from scipy.sparse.linalg import eigsh
+
+    from naqs_tpu.chem.scf import rhf
+    from naqs_tpu.hamiltonian import (
+        assemble_sparse_hamiltonian_np, jordan_wigner_from_integrals)
+
+    syms, pos = _stored_geometry("H2O_6-31G")
+    stored = nq.load_molecule("H2O_6-31G")
+    r = rhf(syms, pos, basis_name="6-31g")
+    assert abs(r.e_hf - stored.hf_energy) < 1e-9
+    td = jordan_wigner_from_integrals(r.one_body_mo, r.two_body_mo, r.e_nuc)
+    terms = nq.compile_pauli_terms(td, stored.n_qubits)
+    hil = nq.Hilbert(n_qubits=stored.n_qubits, sectors=((5, 5),), n_exc_max=2)
+    basis = np.sort(np.asarray(hil.basis, dtype=np.uint64))
+    H = assemble_sparse_hamiltonian_np(terms, basis)
+    e = float(eigsh(H, k=1, which="SA")[0][0])
+    assert abs(e - stored.cisd_energy) < 1e-8
