@@ -326,6 +326,66 @@ def build_integrals(basis: List[ContractedGaussian],
     return s_mat, t_mat, v_mat, g
 
 
+D_CART_ORDER = ((2, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 0), (1, 0, 1),
+                (0, 1, 1))
+# real spherical d in terms of NORMALIZED cartesian d (xx, yy, zz, xy, xz,
+# yz): rows m = -2, -1, 0, +1, +2. Same-exponent normalized cartesians
+# overlap as <xx|yy> = 1/3, so d_z2 = (2zz - xx - yy)/2 and
+# d_x2-y2 = (sqrt(3)/2)(xx - yy) come out unit-normalized.
+_SQRT3_2 = np.sqrt(3.0) / 2.0
+SPH_D = np.array([
+    [0.0, 0.0, 0.0, 1.0, 0.0, 0.0],            # d_{-2} = xy
+    [0.0, 0.0, 0.0, 0.0, 0.0, 1.0],            # d_{-1} = yz
+    [-0.5, -0.5, 1.0, 0.0, 0.0, 0.0],          # d_0    = z^2
+    [0.0, 0.0, 0.0, 0.0, 1.0, 0.0],            # d_{+1} = xz
+    [_SQRT3_2, -_SQRT3_2, 0.0, 0.0, 0.0, 0.0],  # d_{+2} = x^2 - y^2
+])
+
+
+def spherical_d_transform(basis: List[ContractedGaussian]):
+    """Cartesian -> real-spherical-harmonic AO transform T (n_sph x n_cart),
+    or None when the basis is pure s/p (then cartesian == spherical).
+
+    Cartesian d shells must appear as consecutive sextets in D_CART_ORDER
+    (how basis.py emits them); each collapses to 5 spherical components,
+    dropping the s-contaminated (x^2+y^2+z^2) combination — matching
+    Psi4's default puream=True AO space (stored H2 cc-pVTZ: 28 spherical
+    MOs, not 30 cartesian)."""
+    n = len(basis)
+    rows = []
+    i = 0
+    any_d = False
+    while i < n:
+        l_tot = sum(basis[i].lmn)
+        if l_tot == 2:
+            grp = basis[i:i + 6]
+            if (len(grp) != 6
+                    or tuple(g.lmn for g in grp) != D_CART_ORDER
+                    or any(g.center is not grp[0].center
+                           and not np.array_equal(g.center, grp[0].center)
+                           for g in grp)):
+                raise ValueError(
+                    "d functions must form consecutive sextets in "
+                    f"D_CART_ORDER (basis index {i})")
+            for m in range(5):
+                row = np.zeros(n)
+                row[i:i + 6] = SPH_D[m]
+                rows.append(row)
+            any_d = True
+            i += 6
+        elif l_tot > 2:
+            raise NotImplementedError(
+                "spherical transform implemented up to d functions")
+        else:
+            row = np.zeros(n)
+            row[i] = 1.0
+            rows.append(row)
+            i += 1
+    if not any_d:
+        return None
+    return np.asarray(rows)
+
+
 def nuclear_repulsion(charges: Sequence[float], centers: np.ndarray) -> float:
     e = 0.0
     n = len(charges)

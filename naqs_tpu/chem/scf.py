@@ -94,6 +94,21 @@ def _scf_loop(h_core, g, x, s_mat, n_occ, f0, max_iter, conv, diis_len,
     return None
 
 
+def _to_spherical(basis, s_mat, t_mat, v_mat, g):
+    """Reduce cartesian-d AO integrals to the real-spherical AO space
+    (integrals.spherical_d_transform); no-op for pure s/p bases."""
+    from naqs_tpu.chem.integrals import spherical_d_transform
+
+    t = spherical_d_transform(basis)
+    if t is None:
+        return s_mat, t_mat, v_mat, g
+    s_mat = t @ s_mat @ t.T
+    t_mat = t @ t_mat @ t.T
+    v_mat = t @ v_mat @ t.T
+    g = np.einsum("pi,qj,rk,sl,ijkl->pqrs", t, t, t, t, g, optimize=True)
+    return s_mat, t_mat, v_mat, g
+
+
 def rhf(
     symbols: Sequence[str],
     positions_angstrom: np.ndarray,
@@ -123,6 +138,7 @@ def rhf(
 
     basis = build_basis(symbols, centers, basis_name)
     s_mat, t_mat, v_mat, g = build_integrals(basis, charges, centers)
+    s_mat, t_mat, v_mat, g = _to_spherical(basis, s_mat, t_mat, v_mat, g)
     h_core = t_mat + v_mat
     e_nuc = nuclear_repulsion(charges, centers)
 
@@ -215,6 +231,7 @@ def rohf(
 
     basis = build_basis(symbols, centers, basis_name)
     s_mat, t_mat, v_mat, g = build_integrals(basis, charges, centers)
+    s_mat, t_mat, v_mat, g = _to_spherical(basis, s_mat, t_mat, v_mat, g)
     h_core = t_mat + v_mat
     e_nuc = nuclear_repulsion(charges, centers)
     s_val, s_vec = np.linalg.eigh(s_mat)

@@ -4,6 +4,7 @@ validated against the reference's shipped Psi4/OpenFermion data."""
 
 import h5py
 import numpy as np
+import pytest
 
 import naqs_tpu as nq
 from naqs_tpu.chem.generate import generate_molecule_data, main, write_molecule_dir
@@ -105,3 +106,15 @@ def test_generate_h2o_631g_scf_and_cisd_match_stored():
     H = assemble_sparse_hamiltonian_np(terms, basis)
     e = float(eigsh(H, k=1, which="SA")[0][0])
     assert abs(e - stored.cisd_energy) < 1e-8
+
+
+@pytest.mark.slow
+def test_generate_h2_ccpvtz_matches_reference_data():
+    """d functions + cartesian->spherical reduction (28 spherical MOs):
+    generated HF and FCI match the stored Psi4 values to ~1e-11."""
+    syms, pos = _stored_geometry("H2_cc-pvtz")
+    stored = nq.load_molecule("H2_cc-pvtz")
+    data = generate_molecule_data(syms, pos, basis_name="cc-pvtz")
+    assert data["n_qubits"] == stored.n_qubits == 56
+    assert abs(data["hf_energy"] - stored.hf_energy) < 1e-9
+    assert abs(data["fci_energy"] - stored.fci_energy) < 1e-8
