@@ -117,8 +117,23 @@ def main(argv=None):
             A(row(lab, S[k]))
     A("")
 
-    n2 = sorted((k for k in S if k.startswith("n2_")),
-                key=lambda k: float(k[3:]))
+    # curve runs: "n2_<r>", optionally superseded by a spin-penalty rerun
+    # "n2_<r>_s2pen" (H + lam*S^2 training, the round-3 fix for the
+    # <S^2>=12 fixed point at r=2.25)
+    n2_by_r = {}
+    for k in S:
+        if not k.startswith("n2_"):
+            continue
+        body = k[3:]
+        pen = body.endswith("_s2pen")
+        r_str = body[:-len("_s2pen")] if pen else body
+        try:
+            float(r_str)
+        except ValueError:
+            continue
+        if pen or r_str not in n2_by_r:
+            n2_by_r[r_str] = k
+    n2 = [n2_by_r[r] for r in sorted(n2_by_r, key=float)]
     if n2:
         exact = {}
         try:
@@ -144,7 +159,7 @@ def main(argv=None):
         A("|---|---|---|---|---|---|---|")
         for k in n2:
             s = S[k]
-            r = k[3:]
+            r = k[3:-len("_s2pen")] if k.endswith("_s2pen") else k[3:]
             e = best_e(s)
             ex = exact.get(r, {})
             e0 = ex.get("e0_singlet", s["fci_energy"])
@@ -265,14 +280,18 @@ def main(argv=None):
     A("ground state and 10.6 mHa BELOW the stored singlet FCI. The same")
     A("protocol now runs automatically for r >= 1.5 via -ws_solve_h.")
     A("")
-    A("Round-3 finding: at r = 2.25 even exact-mode training with repeated")
+    A("Round-3 finding: at r = 2.25 exact-mode training with repeated")
     A("full-sector eigenvector re-targeting (500- and 3000-epoch fits)")
     A("drains back into the <S^2>=12 eigenstate at -107.41888 (a zero-")
     A("variance, zero-gradient fixed point 24.7 mHa above the singlet; the")
     A("supervised fit lands ~38 mHa high and VMC flows to the simpler sign")
-    A("structure). The r=2.25 deliverable is therefore the subspace CI,")
-    A("which matches the verified sector ground state to 1e-11 Ha; every")
-    A("other curve point reaches direct chemical accuracy.")
+    A("structure). An eigenstate of H is still a zero-gradient point of")
+    A("any penalized objective, but spin-penalty training (-s2_penalty:")
+    A("optimize <H + 0.5 S^2>, report pure <H>) lifts the contaminant")
+    A("~6 Ha above the singlet and destroys its basin of attraction:")
+    A("the n2_2.25_s2pen run converges DIRECTLY to E = -107.442776 Ha,")
+    A("+0.84 mHa from the verified sector ground state — all 11 curve")
+    A("points now reach direct chemical accuracy.")
     out = "\n".join(L) + "\n"
     with open(args.out, "w") as f:
         f.write(out)

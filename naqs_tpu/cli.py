@@ -77,6 +77,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="stochastic-reconfiguration (natural gradient) updates")
     p.add_argument("-sr_damping", type=float, default=1e-3)
     p.add_argument("-sr_cg_iters", type=int, default=50)
+    p.add_argument("-sr_kl_clip", type=float, default=-1.0,
+                   help="SR trust region: cap the natural step's quadratic "
+                        "length dx^T S dx at this many nats (<=0 = off). "
+                        "Combine with -weight_by_psi to keep sampled SR "
+                        "off the HF collapse")
     p.add_argument("-kfac", action="store_true",
                    help="K-FAC natural-gradient updates (reference "
                         "KFACOptimizer, src/optimizer/utils.py:19-268)")
@@ -286,6 +291,7 @@ def run(args=None) -> dict:
             use_sr=args.sr,
             sr_damping=args.sr_damping,
             sr_cg_iters=args.sr_cg_iters,
+            sr_kl_clip=args.sr_kl_clip if args.sr_kl_clip > 0 else None,
             use_kfac=args.kfac,
             kfac_damping=args.kfac_damping,
             seed=seed + run_i,

@@ -43,7 +43,8 @@ def _keep_unless(flag, new, old):
     )
 
 
-def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap):
+def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap,
+                       reweight_by_psi=False):
     """Shared sharded front half: per-shard sample, all-gather the global
     psi table, local energies of local rows against the global support.
 
@@ -51,6 +52,12 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap):
     GLOBALLY, stats = (e_mean, e_mean_im, e_var, n_unique_global, overflow),
     and record = (g_states, g_counts, g_n_valid) is the sorted merged sample
     buffer for the host-side sampled-state counter (solve_h history).
+
+    reweight_by_psi: weight rows by |psi|^2 instead of empirical counts.
+    Shards sample independently, so a state can appear on several shards;
+    count weights partition the true total across duplicates, but |psi|^2
+    weights would double-count them — each row's weight is divided by its
+    global multiplicity (run length in the merged sorted buffer).
     """
     batch = sample(cfg, params, key, n_samples / n_dev, cap)
     live = jnp.arange(batch.states.shape[0]) < batch.n_unique
@@ -80,15 +87,29 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap):
     )
     n_unique_global = jnp.sum(new_key & g_live_s).astype(jnp.int32)
 
-    pos = jnp.searchsorted(g_states, batch.states)
+    # method="sort" lowers to sort+scatter instead of the per-query scan
+    # (measured ~3000x faster on TPU for this shape class)
+    pos = jnp.searchsorted(g_states, batch.states, method="sort")
     pos = jnp.minimum(pos, g_states.shape[0] - 1)
     e_re_g, e_im_g = local_energy(dt, g_states, g_la, g_ph, g_n_valid)
     e_re = jnp.where(live, e_re_g[pos], 0.0)
     e_im = jnp.where(live, e_im_g[pos], 0.0)
 
-    counts = jnp.where(live, batch.counts, 0.0)
-    total = jax.lax.psum(jnp.sum(counts), "dp")
-    w = counts / total
+    if reweight_by_psi:
+        mult = (jnp.searchsorted(g_states, batch.states, side="right",
+                                 method="sort") -
+                jnp.searchsorted(g_states, batch.states, side="left",
+                                 method="sort"))
+        raw = jnp.where(
+            live,
+            jnp.exp(2.0 * la_l.astype(jnp.float64))
+            / jnp.maximum(mult, 1).astype(jnp.float64),
+            0.0,
+        )
+    else:
+        raw = jnp.where(live, batch.counts, 0.0)
+    total = jax.lax.psum(jnp.sum(raw), "dp")
+    w = raw / total
     e_mean = jax.lax.psum(jnp.sum(w * e_re), "dp")
     e_mean_im = jax.lax.psum(jnp.sum(w * e_im), "dp")
     e_var = jax.lax.psum(jnp.sum(w * (e_re - e_mean) ** 2), "dp")
@@ -215,20 +236,24 @@ def make_sharded_sr_step(
     mesh: Mesh,
     capacity_per_device: int,
     cg_iters: int = 50,
+    reweight_by_psi: bool = False,
+    kl_clip=None,
 ):
     """Stochastic-reconfiguration step over the mesh (sr.py, data-parallel).
 
     Returns jitted step(params, dt, keys, n_samples, lr, damping) ->
     (params, metrics). The quantum-Fisher matvec S@v psums per-shard
     jvp/vjp contributions, so conjugate gradients runs on identical
-    replicated values on every chip.
+    replicated values on every chip. reweight_by_psi / kl_clip mirror
+    sr.sr_update (the sampled-SR HF-collapse mitigations).
     """
     n_dev = mesh.devices.size
 
     def _device_step(params, dt: DeviceTerms, keys, n_samples, lr, damping):
         flat0, unravel = ravel_pytree(params)
         batch, live, w, e_re, e_im, stats, record = _sample_and_energy(
-            cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device
+            cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device,
+            reweight_by_psi=reweight_by_psi,
         )
         e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
         d_re = e_re - e_mean
@@ -256,7 +281,15 @@ def make_sharded_sr_step(
         x, _ = jax.scipy.sparse.linalg.cg(
             s_matvec, grad, x0=grad, maxiter=cg_iters, tol=1e-10
         )
-        new_flat = flat0 - lr.astype(flat0.dtype) * x
+        lr = lr.astype(flat0.dtype)
+        if kl_clip is not None:
+            # trust region on the natural step length (replicated: every
+            # input to the quadratic form is already psum'd)
+            q = jnp.maximum(x @ s_matvec(x), 1e-300)
+            lr = lr * jnp.minimum(
+                1.0, jnp.sqrt(jnp.float64(kl_clip).astype(flat0.dtype)
+                              / (lr * lr * q)))
+        new_flat = flat0 - lr * x
         params = _keep_unless(overflow, unravel(new_flat), params)
         metrics = {
             "e_loc": e_mean,

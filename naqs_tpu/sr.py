@@ -23,7 +23,7 @@ from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
 from naqs_tpu.sampler import SampleBatch
 
 
-@partial(jax.jit, static_argnames=("cfg", "cg_iters"))
+@partial(jax.jit, static_argnames=("cfg", "cg_iters", "reweight_by_psi"))
 def sr_update(
     cfg: NAQSConfig,
     params,
@@ -32,8 +32,22 @@ def sr_update(
     lr: jnp.ndarray,
     damping: jnp.ndarray,
     cg_iters: int = 50,
+    reweight_by_psi: bool = False,
+    kl_clip: jnp.ndarray = None,
 ):
-    """One SR step. Returns (new_params, metrics)."""
+    """One SR step. Returns (new_params, metrics).
+
+    reweight_by_psi: weight the unique support by |psi|^2 instead of
+    empirical counts. Count weights make sampled SR collapse onto HF on
+    tiny-support problems (once HF dominates the counts, the Fisher flow
+    reinforces the concentration — RESULTS.md optimizer ablation), while
+    |psi|^2-weighted exact-mode SR converges; this brings the sampled path
+    the same weighting.
+
+    kl_clip: trust-region cap on the quadratic step length dx^T S dx
+    (the KFAC kl_clip, reference optimizer/utils.py KL clipping) — scales
+    lr down whenever the natural step would move the distribution more
+    than kl_clip nats."""
     live = jnp.arange(batch.states.shape[0]) < batch.n_unique
     flat0, unravel = ravel_pytree(params)
 
@@ -42,7 +56,10 @@ def sr_update(
         return la.astype(jnp.float64), ph.astype(jnp.float64)
 
     la, ph = f(flat0)
-    w = jnp.where(live, batch.counts, 0.0)
+    if reweight_by_psi:
+        w = jnp.where(live, jnp.exp(2.0 * la), 0.0)
+    else:
+        w = jnp.where(live, batch.counts, 0.0)
     w = w / jnp.sum(w)
 
     e_re, e_im = local_energy(
@@ -75,7 +92,13 @@ def sr_update(
     x, _ = jax.scipy.sparse.linalg.cg(
         s_matvec, grad, x0=grad, maxiter=cg_iters, tol=1e-10
     )
-    new_flat = flat0 - lr.astype(flat0.dtype) * x
+    lr = lr.astype(flat0.dtype)
+    if kl_clip is not None:
+        # dx = lr * x moves the distribution ~ 0.5 dx^T S dx nats; cap it
+        q = jnp.maximum(x @ s_matvec(x), 1e-300)
+        lr = lr * jnp.minimum(
+            1.0, jnp.sqrt(kl_clip.astype(flat0.dtype) / (lr * lr * q)))
+    new_flat = flat0 - lr * x
     metrics = {
         "e_loc": e_mean,
         "e_loc_var": e_var,

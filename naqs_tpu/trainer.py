@@ -121,6 +121,7 @@ class TrainConfig:
     use_sr: bool = False            # stochastic-reconfiguration natural gradient
     sr_damping: float = 1e-3
     sr_cg_iters: int = 50
+    sr_kl_clip: Optional[float] = None  # trust-region cap on dx^T S dx
     use_kfac: bool = False          # Kronecker-factored natural gradient
     kfac_damping: float = 1e-2
     kfac_decay: float = 0.95
@@ -329,7 +330,10 @@ class VMCTrainer:
             cap_per_dev = max(64, self.capacity // self.n_devices)
             if train_cfg.use_sr:
                 self._sharded_sr_step = make_sharded_sr_step(
-                    model_cfg, mesh, cap_per_dev, cg_iters=train_cfg.sr_cg_iters
+                    model_cfg, mesh, cap_per_dev,
+                    cg_iters=train_cfg.sr_cg_iters,
+                    reweight_by_psi=train_cfg.reweight_by_psi,
+                    kl_clip=train_cfg.sr_kl_clip,
                 )
             elif train_cfg.use_kfac:
                 self._sharded_kfac_step = make_sharded_kfac_step(
@@ -576,6 +580,9 @@ class VMCTrainer:
                 jnp.float64(self._current_lr()),
                 jnp.float64(self.tc.sr_damping),
                 cg_iters=self.tc.sr_cg_iters,
+                reweight_by_psi=self.tc.reweight_by_psi,
+                kl_clip=(None if self.tc.sr_kl_clip is None
+                         else jnp.float64(self.tc.sr_kl_clip)),
             )
         elif self.tc.use_kfac:
             from naqs_tpu.kfac import kfac_init, kfac_update
