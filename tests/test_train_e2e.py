@@ -183,3 +183,39 @@ def test_solve_h_states_override():
     w = np.linalg.eigvalsh(H.toarray())[0]
     assert abs(e0 - w) < 1e-10
     assert abs(e0 - mol.fci_energy) < 1e-8
+
+
+def test_s2_penalty_training_reports_pure_h():
+    """Spin-penalty training (train_terms = H + lam*S^2): the training
+    objective includes the penalty, but exact_energy() reports pure <H>
+    (dt_h), and exact-mode training still descends toward the singlet
+    ground state (whose penalty is zero)."""
+    import numpy as np
+
+    import naqs_tpu as nq
+    from naqs_tpu.models.nade import NAQSConfig
+    from naqs_tpu.trainer import TrainConfig, VMCTrainer, exact_energy
+    from naqs_tpu.utils.spin import penalized_termdict
+
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    lam = 0.5
+    train_terms = nq.compile_pauli_terms(
+        penalized_termdict(mol.qubit_hamiltonian, mol.n_qubits, lam),
+        mol.n_qubits)
+    tr = VMCTrainer(cfg := NAQSConfig(n_qubits=mol.n_qubits,
+                                      sectors=h.sectors),
+                    terms, h, TrainConfig(n_train=200, seed=3,
+                                          use_lr_schedule=False, lr=5e-3),
+                    train_terms=train_terms)
+    tr.pre_flatten(20)
+    tr.run_exact(200)
+    e_h = tr.exact_energy()                       # pure <H> (dt_h)
+    import jax.numpy as jnp
+    e_pen = float(exact_energy(cfg, tr.params, tr.dt,
+                               jnp.asarray(h.basis)))  # training operator
+    # <H + lam S^2> >= <H> always (S^2 is PSD); near the singlet they agree
+    assert e_pen >= e_h - 1e-9
+    assert e_pen - e_h < 5e-3  # residual contamination is tiny
+    assert abs(e_h - mol.fci_energy) < 1.6e-3
