@@ -83,8 +83,12 @@ void naqs_popcount_parity(
 // Couplings to states outside the basis are dropped (reference semantics).
 //
 // rows/cols/vals must have capacity cap. Returns nnz, or -1 on overflow.
-int64_t naqs_assemble_h(
-    const uint64_t* basis, int64_t n,
+// The _rows variant assembles only rows [row0, row1) (columns still search
+// the FULL basis): peak COO memory becomes O(block), so arbitrarily large
+// bases assemble in bounded memory (a 1.66M-state full assembly OOM-killed
+// a 125 GB host through the single-shot worst-case capacity allocation).
+int64_t naqs_assemble_h_rows(
+    const uint64_t* basis, int64_t n, int64_t row0, int64_t row1,
     const uint64_t* xy, const int64_t* off, int64_t n_groups,
     const uint64_t* yz, const double* coeff,
     const uint64_t* diag_yz, const double* diag_coeff, int64_t n_diag,
@@ -111,7 +115,7 @@ int64_t naqs_assemble_h(
         };
 
 #pragma omp for schedule(dynamic, 64)
-        for (int64_t m = 0; m < n; ++m) {
+        for (int64_t m = row0; m < row1; ++m) {
             if (overflow.load(std::memory_order_relaxed)) continue;
             const uint64_t s = basis[m];
             // diagonal
@@ -135,6 +139,17 @@ int64_t naqs_assemble_h(
     }
     if (overflow.load()) return -1;
     return cursor.load();
+}
+
+int64_t naqs_assemble_h(
+    const uint64_t* basis, int64_t n,
+    const uint64_t* xy, const int64_t* off, int64_t n_groups,
+    const uint64_t* yz, const double* coeff,
+    const uint64_t* diag_yz, const double* diag_coeff, int64_t n_diag,
+    int64_t* rows, int64_t* cols, double* vals, int64_t cap) {
+    return naqs_assemble_h_rows(basis, n, 0, n, xy, off, n_groups, yz, coeff,
+                                diag_yz, diag_coeff, n_diag,
+                                rows, cols, vals, cap);
 }
 
 // Local energies E_loc(m) = sum_g H[m, col(g)] * psi[col]/psi[m] over a

@@ -188,31 +188,18 @@ def assemble_dense_hamiltonian_np(terms: PauliTerms, basis: np.ndarray) -> np.nd
     return H
 
 
-def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray):
-    """scipy CSR H over a sorted packed-state basis (for Lanczos solve_H).
-
-    Uses the native C++/OpenMP assembler (csrc/naqs_host.cpp) when available,
-    else pure numpy.
-    """
-    import scipy.sparse as sp
-
-    basis = np.asarray(basis, dtype=np.uint64)
-
-    from naqs_tpu import native
-
-    coo = native.assemble_h_coo(terms, basis)
-    if coo is not None:
-        rows, cols, vals = coo
-        n = len(basis)
-        return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+def _assemble_rows_np(terms: PauliTerms, basis: np.ndarray, r0: int, r1: int):
+    """Pure-numpy COO (rows, cols, vals) for basis rows [r0, r1); rows are
+    ABSOLUTE indices, columns search the full basis."""
     n = len(basis)
-    rows = [np.arange(n, dtype=np.int64)]
-    cols = [np.arange(n, dtype=np.int64)]
-    vals = [diagonal_energy_np(terms, basis)]
+    blk = basis[r0:r1]
+    rows = [np.arange(r0, r1, dtype=np.int64)]
+    cols = [np.arange(r0, r1, dtype=np.int64)]
+    vals = [diagonal_energy_np(terms, blk)]
     for xy in terms.xy_unique:
         sel = terms.xy == xy
         yzs, cs = terms.yz[sel], terms.coeff[sel]
-        coupled = basis ^ xy
+        coupled = blk ^ xy
         pos = np.searchsorted(basis, coupled)
         pos_c = np.minimum(pos, n - 1)
         found = basis[pos_c] == coupled
@@ -221,14 +208,49 @@ def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray):
             continue
         h = np.zeros(len(idx), dtype=np.float64)
         for yz, c in zip(yzs, cs):
-            h += c * np_parity_pm1(basis[idx] & yz)
-        rows.append(idx)
+            h += c * np_parity_pm1(blk[idx] & yz)
+        rows.append(idx + r0)
         cols.append(pos_c[idx])
         vals.append(h)
-    rows = np.concatenate(rows)
-    cols = np.concatenate(cols)
-    vals = np.concatenate(vals)
-    return sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    return (np.concatenate(rows), np.concatenate(cols), np.concatenate(vals))
+
+
+# blocked-assembly row granularity: bounds the worst-case COO staging at
+# ~block * (n_masks + 1) * 24 B (a single-shot 1.66M-state assembly of the
+# H2O 6-31G sector allocated > 125 GB and was OOM-killed); 2.5e5 rows keeps
+# the peak a few GB for every shipped system while amortizing per-block cost
+_ASSEMBLE_ROW_BLOCK = 250_000
+
+
+def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray,
+                                   row_block: int = None):
+    """scipy CSR H over a sorted packed-state basis (for Lanczos solve_H).
+
+    Uses the native C++/OpenMP assembler (csrc/naqs_host.cpp) when available,
+    else pure numpy. Bases larger than `row_block` rows assemble block-by-
+    block (COO staging memory stays O(row_block), only the final CSR is
+    O(nnz)) — required for million-state spaces (H2O 6-31G full basis).
+    """
+    import scipy.sparse as sp
+
+    from naqs_tpu import native
+
+    basis = np.asarray(basis, dtype=np.uint64)
+    n = len(basis)
+    if row_block is None:
+        row_block = _ASSEMBLE_ROW_BLOCK
+    blocks = []
+    for r0 in range(0, n, row_block):
+        r1 = min(r0 + row_block, n)
+        coo = native.assemble_h_coo(terms, basis, r0, r1)
+        if coo is None:
+            coo = _assemble_rows_np(terms, basis, r0, r1)
+        rows, cols, vals = coo
+        blocks.append(sp.csr_matrix(
+            (vals, (rows - r0, cols)), shape=(r1 - r0, n)))
+    if len(blocks) == 1:
+        return blocks[0]
+    return sp.vstack(blocks, format="csr")
 
 
 def local_energy_np(

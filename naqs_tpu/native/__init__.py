@@ -73,6 +73,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _u64p, _f64p, ctypes.c_int64,
         _i64p, _i64p, _f64p, ctypes.c_int64,
     ]
+    lib.naqs_assemble_h_rows.restype = ctypes.c_int64
+    lib.naqs_assemble_h_rows.argtypes = [
+        _u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _u64p, _i64p, ctypes.c_int64,
+        _u64p, _f64p,
+        _u64p, _f64p, ctypes.c_int64,
+        _i64p, _i64p, _f64p, ctypes.c_int64,
+    ]
     lib.naqs_local_energy.restype = None
     lib.naqs_local_energy.argtypes = [
         _u64p, ctypes.c_int64,
@@ -125,8 +133,12 @@ def enumerate_combinations(s: int, n: int, weights: np.ndarray) -> Optional[np.n
     return out[:cnt]
 
 
-def assemble_h_coo(terms, basis: np.ndarray):
-    """COO (rows, cols, vals) of H over a sorted basis, or None w/o native lib."""
+def assemble_h_coo(terms, basis: np.ndarray, row0: int = 0,
+                   row1: Optional[int] = None):
+    """COO (rows, cols, vals) of H rows [row0, row1) over a sorted basis
+    (columns search the full basis), or None w/o native lib. The COO
+    capacity is allocated for the worst case of the ROW RANGE only, so
+    callers can assemble arbitrarily large bases in bounded memory."""
     lib = get_lib()
     if lib is None:
         return None
@@ -135,13 +147,14 @@ def assemble_h_coo(terms, basis: np.ndarray):
     dyz = np.ascontiguousarray(terms.diag_yz, dtype=np.uint64)
     dco = np.ascontiguousarray(terms.diag_coeff, dtype=np.float64)
     n = len(basis)
-    cap = n * (len(xy_u) + 1)
-    rows = np.empty(cap, dtype=np.int64)
-    cols = np.empty(cap, dtype=np.int64)
-    vals = np.empty(cap, dtype=np.float64)
-    nnz = lib.naqs_assemble_h(
-        basis, n, xy_u, off, len(xy_u), yz, coeff, dyz, dco, len(dyz),
-        rows, cols, vals, cap,
+    row1 = n if row1 is None else int(row1)
+    cap = max(row1 - row0, 0) * (len(xy_u) + 1)
+    rows = np.empty(max(cap, 1), dtype=np.int64)
+    cols = np.empty(max(cap, 1), dtype=np.int64)
+    vals = np.empty(max(cap, 1), dtype=np.float64)
+    nnz = lib.naqs_assemble_h_rows(
+        basis, n, int(row0), row1, xy_u, off, len(xy_u), yz, coeff,
+        dyz, dco, len(dyz), rows, cols, vals, cap,
     )
     if nnz < 0:
         return None

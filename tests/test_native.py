@@ -69,3 +69,29 @@ def test_csr_matvec_matches_scipy():
     x = rng.normal(size=h.size) + 1j * rng.normal(size=h.size)
     y_native = native.csr_matvec_complex(H, x)
     np.testing.assert_allclose(y_native, H @ x, atol=1e-10)
+
+
+def test_blocked_assembly_matches_single_shot():
+    """Row-blocked assembly (bounded COO staging memory, required for
+    million-state bases) must produce the identical CSR matrix."""
+    import numpy as np
+
+    import naqs_tpu as nq
+    from naqs_tpu.hamiltonian import assemble_sparse_hamiltonian_np
+
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    basis = np.sort(np.asarray(h.basis, dtype=np.uint64))
+    H1 = assemble_sparse_hamiltonian_np(terms, basis)
+    H2 = assemble_sparse_hamiltonian_np(terms, basis, row_block=37)
+    assert abs(H1 - H2).max() < 1e-14
+
+    from naqs_tpu import native
+    lib, tried = native._lib, native._tried
+    try:  # force the numpy fallback path through the same block logic
+        native._lib, native._tried = None, True
+        H3 = assemble_sparse_hamiltonian_np(terms, basis, row_block=50)
+    finally:
+        native._lib, native._tried = lib, tried
+    assert abs(H1 - H3).max() < 1e-12
