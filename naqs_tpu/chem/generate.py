@@ -105,7 +105,7 @@ def generate_molecule_data(
             import naqs_tpu as nq
             from naqs_tpu.hamiltonian import (
                 assemble_sparse_hamiltonian_np, compile_pauli_terms,
-                jordan_wigner_from_integrals)
+                hamiltonian_linear_operator, jordan_wigner_from_integrals)
 
             td = jordan_wigner_from_integrals(
                 r.one_body_mo, r.two_body_mo, r.e_nuc)
@@ -115,6 +115,13 @@ def generate_molecule_data(
                 hil = nq.Hilbert(n_qubits=n_qubits, sectors=((n_a, n_b),),
                                  n_exc_max=n_exc_max)
                 basis = np.sort(np.asarray(hil.basis, dtype=np.uint64))
+                if len(basis) > 400_000:
+                    # block LinearOperator: a monolithic CSR for these
+                    # spaces costs 16 B/nnz (int64 indices) plus a vstack
+                    # copy — the H2O 6-31G full sector OOM-killed a 125 GB
+                    # host that way
+                    op = hamiltonian_linear_operator(terms, basis)
+                    return float(eigsh(op, k=1, which="SA")[0][0])
                 H = assemble_sparse_hamiltonian_np(terms, basis)
                 if H.shape[0] < 3:
                     return float(np.linalg.eigvalsh(H.toarray())[0])

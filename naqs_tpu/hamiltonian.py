@@ -222,14 +222,13 @@ def _assemble_rows_np(terms: PauliTerms, basis: np.ndarray, r0: int, r1: int):
 _ASSEMBLE_ROW_BLOCK = 250_000
 
 
-def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray,
-                                   row_block: int = None):
-    """scipy CSR H over a sorted packed-state basis (for Lanczos solve_H).
+def assemble_sparse_hamiltonian_blocks(terms: PauliTerms, basis: np.ndarray,
+                                       row_block: int = None):
+    """H as a list of CSR row-blocks over a sorted packed-state basis.
 
-    Uses the native C++/OpenMP assembler (csrc/naqs_host.cpp) when available,
-    else pure numpy. Bases larger than `row_block` rows assemble block-by-
-    block (COO staging memory stays O(row_block), only the final CSR is
-    O(nnz)) — required for million-state spaces (H2O 6-31G full basis).
+    Each block keeps int32 indices (per-block nnz < 2^31 at the default
+    granularity), so the total footprint is ~12 B/nnz even when the full
+    matrix would force int64 indices — and no vstack copy is ever made.
     """
     import scipy.sparse as sp
 
@@ -248,9 +247,47 @@ def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray,
         rows, cols, vals = coo
         blocks.append(sp.csr_matrix(
             (vals, (rows - r0, cols)), shape=(r1 - r0, n)))
+    return blocks
+
+
+def assemble_sparse_hamiltonian_np(terms: PauliTerms, basis: np.ndarray,
+                                   row_block: int = None):
+    """scipy CSR H over a sorted packed-state basis (for Lanczos solve_H).
+
+    Uses the native C++/OpenMP assembler (csrc/naqs_host.cpp) when available,
+    else pure numpy. Bases larger than `row_block` rows assemble block-by-
+    block (COO staging memory stays O(row_block), only the final CSR is
+    O(nnz)) — required for million-state spaces (H2O 6-31G full basis).
+    For spaces whose MATRIX does not comfortably fit either, use
+    hamiltonian_linear_operator instead.
+    """
+    import scipy.sparse as sp
+
+    blocks = assemble_sparse_hamiltonian_blocks(terms, basis, row_block)
     if len(blocks) == 1:
         return blocks[0]
     return sp.vstack(blocks, format="csr")
+
+
+def hamiltonian_linear_operator(terms: PauliTerms, basis: np.ndarray,
+                                row_block: int = None):
+    """H as a scipy LinearOperator over int32-indexed CSR row-blocks —
+    eigsh-ready for spaces where one monolithic CSR would not fit (the
+    vstack alone doubles the footprint; the H2O 6-31G full sector is
+    ~3.7e9 nnz, > int32, so a single matrix costs 16 B/nnz + a copy)."""
+    from scipy.sparse.linalg import LinearOperator
+
+    basis = np.asarray(basis, dtype=np.uint64)
+    blocks = assemble_sparse_hamiltonian_blocks(terms, basis, row_block)
+    n = len(basis)
+
+    def mv(x):
+        x = np.asarray(x)
+        if x.ndim == 2:  # eigsh probes with column vectors
+            x = x[:, 0]
+        return np.concatenate([b @ x for b in blocks])
+
+    return LinearOperator((n, n), matvec=mv, dtype=np.float64)
 
 
 def local_energy_np(

@@ -95,3 +95,24 @@ def test_blocked_assembly_matches_single_shot():
     finally:
         native._lib, native._tried = lib, tried
     assert abs(H1 - H3).max() < 1e-12
+
+
+def test_hamiltonian_linear_operator_matches_csr():
+    import numpy as np
+    from scipy.sparse.linalg import eigsh
+
+    import naqs_tpu as nq
+    from naqs_tpu.hamiltonian import (
+        assemble_sparse_hamiltonian_np, hamiltonian_linear_operator)
+
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    basis = np.sort(np.asarray(h.basis, dtype=np.uint64))
+    H = assemble_sparse_hamiltonian_np(terms, basis)
+    op = hamiltonian_linear_operator(terms, basis, row_block=41)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=len(basis))
+    assert np.abs(op @ x - H @ x).max() < 1e-12
+    e_op = float(eigsh(op, k=1, which="SA")[0][0])
+    assert abs(e_op - mol.fci_energy) < 1e-8
