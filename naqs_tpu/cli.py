@@ -115,10 +115,11 @@ def get_parser() -> argparse.ArgumentParser:
                         "other-spin states can drop below the target-spin "
                         "ground state (utils/spin.py). -1 = off")
     p.add_argument("-s2_penalty", type=float, default=0.0,
-                   help="train on H + lambda*S^2 instead of H (singlet "
-                        "targets only): lifts spin-contaminated fixed "
-                        "points out of the variational minimum while "
-                        "leaving every singlet eigenvalue unchanged. "
+                   help="train on H + lambda*S^2 instead of H: lifts "
+                        "higher-spin contaminants out of the variational "
+                        "minimum while leaving the lowest-sector-spin "
+                        "eigenvalues' ordering unchanged (targets S=0 in "
+                        "m_s=0 sectors, S=m_s in open-shell sectors). "
                         "Reported energies stay pure <H>. 0 = off")
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")

@@ -84,7 +84,11 @@ def penalized_termdict(h_td, n_qubits: int, lam: float,
     no counterpart (it reports the trapped energies). Training uses the
     merged operator; reporting still evaluates pure <H> (trainer.dt_h).
 
-    Only correct for *singlet* targets: lam * S^2 biases towards S = 0.
+    The penalty biases towards the LOWEST total spin compatible with the
+    trained sector: S = 0 in an m_s = 0 sector, S = m_s in a fixed-m_s
+    open-shell sector (a uniform shift lam * m_s(m_s+1) on every reachable
+    state does not move the argmin). Do not use it to target an
+    ABOVE-minimal spin state.
     """
     out = dict(h_td)
     for k, v in s_squared_termdict(n_qubits // 2, threshold).items():
