@@ -77,6 +77,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="stochastic-reconfiguration (natural gradient) updates")
     p.add_argument("-sr_damping", type=float, default=1e-3)
     p.add_argument("-sr_cg_iters", type=int, default=50)
+    p.add_argument("-sr_fisher_mix", type=float, default=0.0,
+                   help="mix this fraction of a uniform-over-support "
+                        "distribution into the SR Fisher weights (metric "
+                        "only; gradient stays unbiased). Keeps the natural-"
+                        "gradient geometry from collapsing onto a "
+                        "concentrated |psi|^2 (the sampled-SR HF stall)")
     p.add_argument("-sr_kl_clip", type=float, default=-1.0,
                    help="SR trust region: cap the natural step's quadratic "
                         "length dx^T S dx at this many nats (<=0 = off). "
@@ -293,6 +299,7 @@ def run(args=None) -> dict:
             sr_damping=args.sr_damping,
             sr_cg_iters=args.sr_cg_iters,
             sr_kl_clip=args.sr_kl_clip if args.sr_kl_clip > 0 else None,
+            sr_fisher_mix=args.sr_fisher_mix,
             use_kfac=args.kfac,
             kfac_damping=args.kfac_damping,
             seed=seed + run_i,

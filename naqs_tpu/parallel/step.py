@@ -238,6 +238,7 @@ def make_sharded_sr_step(
     cg_iters: int = 50,
     reweight_by_psi: bool = False,
     kl_clip=None,
+    fisher_mix: float = 0.0,
 ):
     """Stochastic-reconfiguration step over the mesh (sr.py, data-parallel).
 
@@ -269,12 +270,22 @@ def make_sharded_sr_step(
         )
         damping = damping.astype(flat0.dtype)
 
+        if fisher_mix > 0.0:
+            # support-regularized metric (sr.sr_update fisher_mix): mix a
+            # uniform distribution over the GLOBAL live support into the
+            # Fisher weights only — gradient weights stay unbiased
+            n_live = jnp.maximum(
+                jax.lax.psum(jnp.sum(live.astype(jnp.float64)), "dp"), 1.0)
+            w_f = (1.0 - fisher_mix) * w + fisher_mix * live / n_live
+        else:
+            w_f = w
+
         def s_matvec(v):
             u_la, u_ph = jax.jvp(f, (flat0,), (v,))[1]
-            u_la = u_la - jax.lax.psum(jnp.sum(w * u_la), "dp")
-            u_ph = u_ph - jax.lax.psum(jnp.sum(w * u_ph), "dp")
+            u_la = u_la - jax.lax.psum(jnp.sum(w_f * u_la), "dp")
+            u_ph = u_ph - jax.lax.psum(jnp.sum(w_f * u_ph), "dp")
             sv = jax.lax.psum(
-                vjp((w * u_la, w * u_ph))[0].astype(flat0.dtype), "dp"
+                vjp((w_f * u_la, w_f * u_ph))[0].astype(flat0.dtype), "dp"
             )
             return sv + damping * v
 

@@ -23,7 +23,8 @@ from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
 from naqs_tpu.sampler import SampleBatch
 
 
-@partial(jax.jit, static_argnames=("cfg", "cg_iters", "reweight_by_psi"))
+@partial(jax.jit, static_argnames=("cfg", "cg_iters", "reweight_by_psi",
+                                   "fisher_mix"))
 def sr_update(
     cfg: NAQSConfig,
     params,
@@ -34,6 +35,7 @@ def sr_update(
     cg_iters: int = 50,
     reweight_by_psi: bool = False,
     kl_clip: jnp.ndarray = None,
+    fisher_mix: float = 0.0,
 ):
     """One SR step. Returns (new_params, metrics).
 
@@ -47,7 +49,16 @@ def sr_update(
     kl_clip: trust-region cap on the quadratic step length dx^T S dx
     (the KFAC kl_clip, reference optimizer/utils.py KL clipping) — scales
     lr down whenever the natural step would move the distribution more
-    than kl_clip nats."""
+    than kl_clip nats.
+
+    fisher_mix: support-regularized metric. As |psi|^2 concentrates, BOTH
+    count and psi^2 weights degenerate and the Fisher matrix loses every
+    direction that would move mass back onto the sampled-but-light states
+    (the HF-collapse mechanism). Mixing eps of a uniform distribution over
+    the live support into the FISHER weights only — the energy-gradient
+    weights stay untouched, so stationary points are unchanged; only the
+    preconditioning geometry is regularized (any PSD metric is a valid
+    natural-gradient preconditioner)."""
     live = jnp.arange(batch.states.shape[0]) < batch.n_unique
     flat0, unravel = ravel_pytree(params)
 
@@ -79,14 +90,20 @@ def sr_update(
     grad = (2.0 * vjp((w * d_re, w * d_im))[0]).astype(flat0.dtype)
     damping = damping.astype(flat0.dtype)
 
+    if fisher_mix > 0.0:
+        n_live = jnp.maximum(jnp.sum(live.astype(jnp.float64)), 1.0)
+        w_f = (1.0 - fisher_mix) * w + fisher_mix * live / n_live
+    else:
+        w_f = w
+
     def s_matvec(v):
         # S v: jvp (O v, centered), then weighted vjp. Centering the jvp
         # output also kills the <O> outer-product term because the weighted
         # cotangents then sum to zero.
         u_la, u_ph = jax.jvp(f, (flat0,), (v,))[1]
-        u_la = u_la - jnp.sum(w * u_la)
-        u_ph = u_ph - jnp.sum(w * u_ph)
-        sv = vjp((w * u_la, w * u_ph))[0].astype(flat0.dtype)
+        u_la = u_la - jnp.sum(w_f * u_la)
+        u_ph = u_ph - jnp.sum(w_f * u_ph)
+        sv = vjp((w_f * u_la, w_f * u_ph))[0].astype(flat0.dtype)
         return sv + damping * v
 
     x, _ = jax.scipy.sparse.linalg.cg(

@@ -122,6 +122,7 @@ class TrainConfig:
     sr_damping: float = 1e-3
     sr_cg_iters: int = 50
     sr_kl_clip: Optional[float] = None  # trust-region cap on dx^T S dx
+    sr_fisher_mix: float = 0.0      # uniform-support mixing in the metric
     use_kfac: bool = False          # Kronecker-factored natural gradient
     kfac_damping: float = 1e-2
     kfac_decay: float = 0.95
@@ -334,6 +335,7 @@ class VMCTrainer:
                     cg_iters=train_cfg.sr_cg_iters,
                     reweight_by_psi=train_cfg.reweight_by_psi,
                     kl_clip=train_cfg.sr_kl_clip,
+                    fisher_mix=train_cfg.sr_fisher_mix,
                 )
             elif train_cfg.use_kfac:
                 self._sharded_kfac_step = make_sharded_kfac_step(
@@ -583,6 +585,7 @@ class VMCTrainer:
                 reweight_by_psi=self.tc.reweight_by_psi,
                 kl_clip=(None if self.tc.sr_kl_clip is None
                          else jnp.float64(self.tc.sr_kl_clip)),
+                fisher_mix=self.tc.sr_fisher_mix,
             )
         elif self.tc.use_kfac:
             from naqs_tpu.kfac import kfac_init, kfac_update
