@@ -232,6 +232,17 @@ def build_jobs():
     jobs.append(("optimizers", _job(
         "opt_LiH_kfac", "LiH", 2000, extra=["-kfac", "-lr", "5e-2"],
     )))
+    # SR with the HF-collapse mitigations (sr.py docstrings): |psi|^2
+    # gradient weights + KL trust region + the support-regularized Fisher
+    # metric. Measured (CPU): plain count-weighted SR fixates at HF;
+    # psi^2 + KL clip alone still asymptotes to HF by step ~375; the
+    # fisher_mix run is the candidate cure under the same budget.
+    jobs.append(("optimizers", _job(
+        "opt_LiH_sr_psiw", "LiH", 2000,
+        extra=["-sr", "-sr_damping", "1e-3", "-lr", "5e-2",
+               "-weight_by_psi", "-sr_kl_clip", "1e-3",
+               "-sr_fisher_mix", "0.1", "-n_unq_samps_min", "64"],
+    )))
     # exact-mode variants: |psi|^2 weights over the full 225-state basis
     # remove sampling noise from the optimizer comparison — and SR's
     # sampled-mode pathology (the natural-gradient flow collapses the
