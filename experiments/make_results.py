@@ -237,10 +237,15 @@ def main(argv=None):
         A("weights. Adam is robust in both modes; the natural-gradient")
         A("methods are sensitive to the weighting distribution on this")
         A("tiny-support problem: KFAC near-chem-acc sampled but HF-trapped")
-        A("in exact mode at lr 5e-2, SR HF-trapped sampled (the NG flow")
-        A("collapses the count-weighted distribution onto HF) and slowly")
-        A("converging in exact mode. Adam is the production optimizer, as")
-        A("in the reference.")
+        A("in exact mode at lr 5e-2, count-weighted SR HF-trapped sampled")
+        A("(the NG flow collapses the weighting distribution onto HF; psi^2")
+        A("weights + a KL trust region alone still asymptote to HF by step")
+        A("~375). The sr_psiw row adds the support-regularized Fisher")
+        A("metric (-sr_fisher_mix 0.1: mix a uniform-over-support")
+        A("distribution into the METRIC only, leaving gradient weights and")
+        A("stationary points untouched) — the sampled distribution stays")
+        A("full-support and the run passes straight through the HF plateau.")
+        A("Adam remains the production optimizer, as in the reference.")
         A("")
         A("| Optimizer | E (Ha) | FCI (Ha) | E-FCI (mHa) |")
         A("|---|---|---|---|")

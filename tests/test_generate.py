@@ -118,3 +118,27 @@ def test_generate_h2_ccpvtz_matches_reference_data():
     assert data["n_qubits"] == stored.n_qubits == 56
     assert abs(data["hf_energy"] - stored.hf_energy) < 1e-9
     assert abs(data["fci_energy"] - stored.fci_energy) < 1e-8
+
+
+@pytest.mark.slow
+def test_generated_631g_molecule_trains_to_chem_acc(tmp_path):
+    """Full integration: geometry -> from-scratch 6-31G data -> hdf5 ->
+    load_molecule -> exact-mode VMC training -> chemical accuracy."""
+    from naqs_tpu.models.nade import NAQSConfig
+    from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+    syms, pos = _stored_geometry("H2_6-31G")
+    data = generate_molecule_data(syms, pos, basis_name="6-31g")
+    write_molecule_dir(data, str(tmp_path / "H2_631G_t"))
+    mol = nq.load_molecule(str(tmp_path / "H2_631G_t"))
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors)
+    tr = VMCTrainer(cfg, terms, h,
+                    TrainConfig(n_train=400, seed=2, use_lr_schedule=False,
+                                lr=5e-3))
+    tr.pre_flatten(20)
+    tr.run_exact(400)
+    e = tr.exact_energy()
+    assert e >= mol.fci_energy - 1e-9   # variational
+    assert e - mol.fci_energy < 1.6e-3  # chemical accuracy
