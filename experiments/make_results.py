@@ -209,9 +209,10 @@ def main(argv=None):
               f"| {d.max():+.3f} | {'yes' if (d < 1.6).all() else 'no'} |")
         A("")
         A("N2 seeds (a suite beyond the reference's LiH/H2O reproducibility")
-        A("protocol) gate 'no' on the direct-VMC column at 6-9k steps; all")
-        A("five reach chemical accuracy through the VMC+FCI refinement")
-        A("(max +0.21 mHa).")
+        A("protocol) run the exact-mode protocol of the curve reruns")
+        A("(2800 steps, solve_H retarget at 1000); the earlier sampled")
+        A("6000-step runs landed 0.6-2.6 mHa high on the direct column and")
+        A("needed the VMC+FCI refinement to gate 'yes'.")
         A("")
 
     abl = [k for k in S if k.startswith("abl_")]
