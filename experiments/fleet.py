@@ -99,6 +99,36 @@ def build_jobs():
                "-l", "data/fleet/h4o2", "-ws_solve_h", "600"],
     )))
 
+    # --- phase "pw" (round-3 continuation): genuine production-window
+    # FULL-basis SAMPLED rows for the larger bases. Postmortems above show
+    # fresh/warm sampled runs trap ~10 mHa high via support self-collapse —
+    # but those warm starts came from models that had never seen the right
+    # state. The CISDTQ-exact models (x4) ARE variationally within chemical
+    # accuracy of full FCI (a state supported on the n_exc<=4 subspace has
+    # <psi|H|psi> = <psi|P H P|psi>, so the exact-mode energies transfer
+    # unchanged to the full basis); loading them and polishing SAMPLED over
+    # the full space at the reference window [1e4,1e5] (run.py:8-11) only
+    # has to clean up the off-CISDTQ amplitude exact mode never trained.
+    # The round-3 x4 checkpoints did not survive the session reset (only
+    # summary/args JSONs are committed), so each pw chain re-trains its
+    # CISDTQ-exact stage under a new name first. h4o2_x4b swaps the original
+    # "-l data/fleet/h4o2" warm start (that checkpoint is gone too) for the
+    # same HF pretrain h2o_631g_x4 used.
+    jobs.append(("pw", _job(
+        "h2o_631g_x4b", "H2O_6-31G", 4000,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "1200"])))
+    jobs.append(("pw", _job(
+        "h2o_631g_pw", "H2O_6-31G", 3000, samp=SAMP_PROD,
+        extra=["-l", "data/fleet/h2o_631g_x4b", "-lr", "5e-4"])))
+    jobs.append(("pw", _job(
+        "h4o2_x4b", "H4O2", 3000,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "600"])))
+    jobs.append(("pw", _job(
+        "h4o2_pw", "H4O2", 3000, samp=SAMP_PROD,
+        extra=["-l", "data/fleet/h4o2_x4b", "-lr", "5e-4"])))
+
     # --- phase "n2fix" (round 3, VERDICT #5): the three deep-stretch N2
     # points whose post-warm-start E_loc series went NaN in round 2; rerun
     # end-to-end on the non-finite-guarded update path
@@ -300,8 +330,9 @@ def build_jobs():
 
 # execution priority for the round (VERDICT ranking); unknown phases run
 # last. "bases" (h2_ccpvtz retry) leads: minutes of chip for a whole row.
-PHASE_ORDER = ["bases", "bases_prod", "carleo", "n2fix", "n2s2pen", "seeds",
-               "zoo", "n2curve", "ablations", "optimizers", "seeds_n2"]
+PHASE_ORDER = ["pw", "bases", "bases_prod", "carleo", "n2fix", "n2s2pen",
+               "seeds", "zoo", "n2curve", "ablations", "optimizers",
+               "seeds_n2"]
 
 
 def job_done(out_dir: str) -> bool:
