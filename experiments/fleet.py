@@ -118,16 +118,21 @@ def build_jobs():
         "h2o_631g_x4b", "H2O_6-31G", 4000,
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-pretrain_hf", "300", "-ws_solve_h", "1200"])))
+    # default lr schedule, NOT a tiny constant lr: measured on LiH
+    # (tests/test_cli.py::test_cross_space_warm_start), the polish starts
+    # ~0.5 Ha high on off-restricted-space junk mass, needs lr 1e-3 to
+    # clean it up in a few hundred steps, then descends BELOW the
+    # restricted floor (the full H's gradient sees n_exc>4 states).
     jobs.append(("pw", _job(
         "h2o_631g_pw", "H2O_6-31G", 3000, samp=SAMP_PROD,
-        extra=["-l", "data/fleet/h2o_631g_x4b", "-lr", "5e-4"])))
+        extra=["-l", "data/fleet/h2o_631g_x4b"])))
     jobs.append(("pw", _job(
         "h4o2_x4b", "H4O2", 3000,
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-pretrain_hf", "300", "-ws_solve_h", "600"])))
     jobs.append(("pw", _job(
         "h4o2_pw", "H4O2", 3000, samp=SAMP_PROD,
-        extra=["-l", "data/fleet/h4o2_x4b", "-lr", "5e-4"])))
+        extra=["-l", "data/fleet/h4o2_x4b"])))
 
     # --- phase "n2fix" (round 3, VERDICT #5): the three deep-stretch N2
     # points whose post-warm-start E_loc series went NaN in round 2; rerun

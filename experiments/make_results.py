@@ -111,8 +111,12 @@ def main(argv=None):
                    ("h2_ccpvtz", "H2 cc-pVTZ (56 qubits)"),
                    ("h2o_631g", "H2O 6-31G (26q, full-mask, sampled window)"),
                    ("h2o_631g_x4", "H2O 6-31G (26q, CISDTQ-exact protocol)"),
+                   ("h2o_631g_x4b", "H2O 6-31G (26q, CISDTQ-exact protocol, rerun)"),
+                   ("h2o_631g_pw", "H2O 6-31G (26q, full basis, production window sampled)"),
                    ("h4o2", "H4O2 water dimer (28q, sampled window)"),
-                   ("h4o2_x4", "H4O2 water dimer (28q, CISDTQ-exact protocol)")]:
+                   ("h4o2_x4", "H4O2 water dimer (28q, CISDTQ-exact protocol)"),
+                   ("h4o2_x4b", "H4O2 water dimer (28q, CISDTQ-exact protocol, rerun)"),
+                   ("h4o2_pw", "H4O2 water dimer (28q, full basis, production window sampled)")]:
         if k in S:
             A(row(lab, S[k]))
     A("")

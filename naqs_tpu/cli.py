@@ -328,7 +328,10 @@ def run(args=None) -> dict:
         warm_loaded = False
         if args.load:
             trainer.save_loc = args.load
-            trainer.load()
+            # model only: the source run's optax chain may differ (e.g.
+            # lr-schedule vs constant-lr), and a warm start wants fresh
+            # optimizer moments regardless
+            trainer.load(params_only=True)
             trainer.save_loc = out_dir
             warm_loaded = True
         if args.cont and os.path.exists(os.path.join(out_dir, "checkpoint.msgpack")):

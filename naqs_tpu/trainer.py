@@ -1040,12 +1040,31 @@ class VMCTrainer:
             json.dump(meta, f)
         return path
 
-    def load(self, fname: str = "checkpoint"):
+    def load(self, fname: str = "checkpoint", params_only: bool = False):
+        """Restore a checkpoint. ``params_only=True`` restores just the
+        model (warm starts across training configs): the optimizer-state
+        pytree is structure-matched to THIS trainer's optax chain, so a
+        checkpoint written under a different chain (e.g. lr-schedule vs
+        constant-lr runs differ by a ScaleByScheduleState) cannot be
+        deserialized into it — and a warm start should begin with fresh
+        optimizer moments anyway."""
         from flax import serialization
 
         path = os.path.join(self.save_loc, f"{fname}.msgpack")
         with open(path, "rb") as f:
             blob = f.read()
+        if params_only:
+            # the blob's opt_state subtree may not match self.opt_state's
+            # structure; deserialize params against a params-only target
+            # (flax from_bytes tolerates extra top-level dict keys in the
+            # TARGET only, so deserialize the full dict leniently by
+            # matching params alone)
+            state_dict = serialization.msgpack_restore(blob)
+            self.params = serialization.from_state_dict(
+                self.params, state_dict["params"], name="params"
+            )
+            self.opt_state = self.optimizer.init(self.params)
+            return self
         restored = serialization.from_bytes(
             {"params": self.params, "opt_state": self.opt_state}, blob
         )

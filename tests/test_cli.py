@@ -140,3 +140,44 @@ def test_ws_full_basis_and_resume_reports_subspace_ci(tmp_path):
     assert s2["n_unique_final"] == 4
     assert abs(s2["e_vmc_fci_subspace"] - s1["e_vmc_fci_subspace"]) < 1e-12
     assert abs(s2["e_vmc_fci_subspace"] - s2["fci_energy"]) < 1e-8
+
+
+@pytest.mark.slow
+def test_cross_space_warm_start(tmp_path):
+    """The production-window protocol (fleet phase "pw") loads a model
+    trained in an n_excitations_max-restricted space into a FULL-space
+    sampled trainer: a state supported on the restricted space has
+    <psi|H|psi> = <psi|P H P|psi>, so the exact-mode energy must transfer
+    and the sampled polish must start from it (not from a wiped/pretrained
+    model)."""
+    stage1 = tmp_path / "x4"
+    r = _run_cli(
+        ["-m", "LiH", "-n_train", "400", "-exact_sampling",
+         "-n_excitations_max", "2", "-n_hid", "16", "-s", "5",
+         "-output_freq", "200", "-o", str(stage1)],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s1 = json.load(open(stage1 / "summary.json"))
+    # deep in the HF basin (a fresh random model sits ~2.4 Ha higher)
+    assert s1["e_exact_final"] < s1["hf_energy"] + 4e-2
+
+    stage2 = tmp_path / "pw"
+    r = _run_cli(
+        ["-m", "LiH", "-n_train", "500", "-n_samps", "100000",
+         "-n_unq_samps_min", "16", "-n_unq_samps_max", "512",
+         "-n_hid", "16", "-s", "5", "-n_pretrain", "20",
+         "-output_freq", "100", "-l", str(stage1), "-o", str(stage2)],
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s2 = json.load(open(stage2 / "summary.json"))
+    # the full-space sampled run must inherit the stage-1 distribution
+    # (a -l warm start skips pre-flatten/HF pretraining, which would wipe
+    # it back to near-uniform ~2.4 Ha above, and must NOT try to restore
+    # the source optimizer state — the optax chains differ) AND clean up
+    # the off-restricted-space amplitude exact-mode training never saw:
+    # measured, E_loc starts ~0.5 Ha high on the junk mass, crosses the
+    # stage-1 restricted floor by ~step 300 and keeps descending toward
+    # full FCI (the full H's gradient now sees n_exc>2 states)
+    assert s2["e_loc_trailing_mean"] < s1["e_exact_final"] + 5e-3
