@@ -123,16 +123,37 @@ def build_jobs():
     # ~0.5 Ha high on off-restricted-space junk mass, needs lr 1e-3 to
     # clean it up in a few hundred steps, then descends BELOW the
     # restricted floor (the full H's gradient sees n_exc>4 states).
+    #
+    # FULL masking throughout the polish chains: the reference trains the
+    # larger bases via batch_train_full_mask.sh (-full_mask_psi). Measured
+    # (scratch/probe_pw_sampler.py on the partial-mask x4b model): partial
+    # masking loses 91.5% of ancestral sample mass to dead-end prefixes the
+    # late mask kills, and the dying-branch frontier overflows the capacity
+    # buffer at n_samps=1e8 while yielding only ~2k uniques — the controller
+    # wedges at ~670 effective uniques and the production window is
+    # unreachable. Full masking retains 100% of the mass (no dead ends),
+    # so n_samps can actually climb toward the [1e4, 1e5] unique window.
+    # x4f re-fits the CISDTQ ground state under the full-mask ansatz
+    # (warm-started from the partial-mask x4b model: same param shapes,
+    # the early retarget supervision dominates any renormalization shift).
+    jobs.append(("pw", _job(
+        "h2o_631g_x4f", "H2O_6-31G", 3100,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-full_mask_psi", "-l", "data/fleet/h2o_631g_x4b",
+               "-ws_solve_h", "100", "-ws_epochs", "2000"])))
     jobs.append(("pw", _job(
         "h2o_631g_pw", "H2O_6-31G", 3000, samp=SAMP_PROD,
-        extra=["-l", "data/fleet/h2o_631g_x4b"])))
+        extra=["-full_mask_psi", "-solve_h_kmax", "100000",
+               "-l", "data/fleet/h2o_631g_x4f"])))
     jobs.append(("pw", _job(
-        "h4o2_x4b", "H4O2", 3000,
+        "h4o2_x4f", "H4O2", 3600,
         extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-pretrain_hf", "300", "-ws_solve_h", "600"])))
+               "-full_mask_psi", "-pretrain_hf", "300",
+               "-ws_solve_h", "600", "-ws_epochs", "1500"])))
     jobs.append(("pw", _job(
         "h4o2_pw", "H4O2", 3000, samp=SAMP_PROD,
-        extra=["-l", "data/fleet/h4o2_x4b"])))
+        extra=["-full_mask_psi", "-solve_h_kmax", "100000",
+               "-l", "data/fleet/h4o2_x4f"])))
 
     # --- phase "n2fix" (round 3, VERDICT #5): the three deep-stretch N2
     # points whose post-warm-start E_loc series went NaN in round 2; rerun

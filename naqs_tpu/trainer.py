@@ -359,6 +359,27 @@ class VMCTrainer:
         # resumed run can still report the (deterministic) subspace CI
         # instead of silently falling back to the counter top-k
         self.ws_result: Optional[tuple] = None
+        # sample-count-controller hysteresis: the smallest n_samples that
+        # recently overflowed the capacity buffer, and when. Without it a
+        # wavefunction whose frontier overflows at 10*n but undershoots the
+        # unique window at n thrashes grow->overflow->shrink every step,
+        # doubling step cost (each overflow is a wasted sample+update
+        # dispatch). Growth past the known-overflow point is only re-tried
+        # every OVF_RETRY_STEPS steps (the distribution moves as training
+        # progresses, so the boundary must be re-probed eventually).
+        self._ovf_n = float("inf")
+        self._ovf_step = -(10 ** 9)
+
+    OVF_RETRY_STEPS = 50
+
+    def _note_overflow(self):
+        self._ovf_n = min(self._ovf_n, self.n_samples)
+        self._ovf_step = self.n_steps
+
+    def _grow_blocked(self) -> bool:
+        """True if growing n_samples x10 would hit a recently-seen overflow."""
+        return (self.n_samples * 10 >= self._ovf_n
+                and self.n_steps - self._ovf_step < self.OVF_RETRY_STEPS)
 
     # recording every step costs a device->host transfer over the (high-
     # latency) tunnel; the top-k-most-sampled statistic is insensitive to
@@ -411,11 +432,14 @@ class VMCTrainer:
             at_min = self.n_samples <= self.tc.n_unq_samples_min
             at_max = self.n_samples >= self.tc.n_samples_max
             if (not at_min and not at_max) or overflow:
-                if n_unq < self.tc.n_unq_samples_min and last_action >= 0 and not overflow:
+                if (n_unq < self.tc.n_unq_samples_min and last_action >= 0
+                        and not overflow and not self._grow_blocked()):
                     action = 1
                     self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
                 elif (n_unq > self.tc.n_unq_samples_max and last_action <= 0) or overflow:
                     action = -1
+                    if overflow:
+                        self._note_overflow()
                     self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
             if action == 0:
                 return batch
@@ -454,6 +478,7 @@ class VMCTrainer:
             if not bool(ovf):
                 self.params, self.opt_state = params, opt_state
                 break
+            self._note_overflow()
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
         else:
             raise RuntimeError(
@@ -463,7 +488,8 @@ class VMCTrainer:
         n_unq = int(n_unq)
         at_max = self.n_samples >= self.tc.n_samples_max
         at_min = self.n_samples <= self.tc.n_unq_samples_min
-        if n_unq < self.tc.n_unq_samples_min and not at_max:
+        if (n_unq < self.tc.n_unq_samples_min and not at_max
+                and not self._grow_blocked()):
             self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
         elif n_unq > self.tc.n_unq_samples_max and not at_min:
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
@@ -523,6 +549,7 @@ class VMCTrainer:
                 )
             if not bool(metrics["overflow"]):
                 break
+            self._note_overflow()
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
         else:
             raise RuntimeError(
@@ -530,7 +557,9 @@ class VMCTrainer:
                 f"{self.capacity} too small for this wavefunction's support?"
             )
         n_unq = int(metrics["n_unique"])
-        if n_unq < self.tc.n_unq_samples_min:
+        if (n_unq < self.tc.n_unq_samples_min
+                and self.n_samples < self.tc.n_samples_max
+                and not self._grow_blocked()):
             self.n_samples = min(self.n_samples * 10, self.tc.n_samples_max)
         elif n_unq > self.tc.n_unq_samples_max:
             self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)

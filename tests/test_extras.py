@@ -125,3 +125,25 @@ def test_solve_h_uses_training_counter():
     assert nu_full == len(tr.sampled_counter)
     assert e_top >= e_full - 1e-12  # smaller subspace -> variational bound
     assert e_full >= mol.fci_energy - 1e-9
+
+
+def test_sample_controller_overflow_hysteresis():
+    """A recently-overflowed n_samples level is not re-tried every step
+    (the grow->overflow->shrink thrash doubles step cost); it IS re-probed
+    after OVF_RETRY_STEPS steps, since training moves the distribution."""
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=4, sectors=h.sectors, amp_hidden=(8,),
+                     phase_hidden=(8,), masking="full")
+    tr = VMCTrainer(cfg, terms, h, TrainConfig(seed=0, n_samples=1e7))
+    assert not tr._grow_blocked()
+    tr.n_samples = 1e8
+    tr._note_overflow()           # overflow observed at 1e8
+    tr.n_samples = 1e7
+    assert tr._grow_blocked()     # 1e7 * 10 == 1e8: blocked
+    tr.n_samples = 1e6
+    assert not tr._grow_blocked()  # 1e6 * 10 < 1e8: free to grow
+    tr.n_samples = 1e7
+    tr.n_steps += tr.OVF_RETRY_STEPS
+    assert not tr._grow_blocked()  # stale overflow: re-probe
