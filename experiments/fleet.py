@@ -136,11 +136,16 @@ def build_jobs():
     # x4f re-fits the CISDTQ ground state under the full-mask ansatz
     # (warm-started from the partial-mask x4b model: same param shapes,
     # the early retarget supervision dominates any renormalization shift).
+    # The retarget must come LATE (the supervised eigenvector fit is a
+    # local move: x4 retargeted at step 4100 of 6500 and landed at
+    # +1.16 mHa, while an early-retarget probe at step 100 left the fit
+    # ~55 mHa high with slow recovery) — so x4f follows the proven
+    # schedule: exact descent first, then fit, then polish.
     jobs.append(("pw", _job(
-        "h2o_631g_x4f", "H2O_6-31G", 3100,
+        "h2o_631g_x4f", "H2O_6-31G", 4100,
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-full_mask_psi", "-l", "data/fleet/h2o_631g_x4b",
-               "-ws_solve_h", "100", "-ws_epochs", "2000"])))
+               "-ws_solve_h", "2600", "-ws_epochs", "1500"])))
     jobs.append(("pw", _job(
         "h2o_631g_pw", "H2O_6-31G", 3000, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "100000",
@@ -149,7 +154,7 @@ def build_jobs():
         "h4o2_x4f", "H4O2", 3600,
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-full_mask_psi", "-pretrain_hf", "300",
-               "-ws_solve_h", "600", "-ws_epochs", "1500"])))
+               "-ws_solve_h", "2000", "-ws_epochs", "1500"])))
     jobs.append(("pw", _job(
         "h4o2_pw", "H4O2", 3000, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "100000",
@@ -235,6 +240,32 @@ def build_jobs():
     # the solve_H warm-start protocol too
     jobs.append(("zoo", _job("zoo_C2", "C2", 6000,
                              extra=["-ws_solve_h", "3000"])))
+
+    # --- phase "li2o_f" (round-3 continuation): direct-VMC chemical
+    # accuracy attack on Li2O with the full-mask ansatz. The CISDTQ floor
+    # -87.891804 is itself within chemical accuracy of FCI (+0.889 mHa,
+    # scratch/probe_li2o_floor.py), so a sampled polish that reaches the
+    # floor gives a DIRECT chem-acc E_loc row — the partial-mask li2o_ws
+    # run stalled +7.9 mHa high on dead-end ancestral mass loss (the same
+    # pathology measured on H2O 6-31G, scratch/probe_pw_sampler.py).
+    # f1: full-mask CISDTQ-space training, host-side full-basis eigensolve
+    # retarget (644k states, ~27 min silent -> run with the fleet's
+    # heartbeat-aware stall window), then sampled polish in the CISDTQ
+    # space. No surviving checkpoint to warm from (only summary JSONs were
+    # committed), so f1 starts from an HF pretrain.
+    jobs.append(("li2o_f", _job(
+        "li2o_f1", "Li2O", 2500, samp=SAMP_BIG,
+        extra=["-n_excitations_max", "4", "-full_mask_psi",
+               "-pretrain_hf", "300", "-save_freq", "100",
+               "-ws_full_basis", "-ws_solve_h", "200", "-ws_epochs", "1500",
+               "-solve_h_kmax", "200000"])))
+    # pwf: full-space sampled polish at a production-ish window from the
+    # f1 model (E_loc over the full 41.4M-state sector can descend below
+    # the CISDTQ floor toward FCI).
+    jobs.append(("li2o_f", _job(
+        "li2o_pwf", "Li2O", 1500, samp=SAMP_BIG,
+        extra=["-full_mask_psi", "-save_freq", "100",
+               "-l", "data/fleet/li2o_f1", "-solve_h_kmax", "200000"])))
 
     # --- phase "bases": H2 larger bases + H2O 6-31G full budget + H4O2
     jobs.append(("bases", _job("h2_631g", "H2_6-31G", 1500)))
@@ -356,7 +387,7 @@ def build_jobs():
 
 # execution priority for the round (VERDICT ranking); unknown phases run
 # last. "bases" (h2_ccpvtz retry) leads: minutes of chip for a whole row.
-PHASE_ORDER = ["pw", "bases", "bases_prod", "carleo", "n2fix", "n2s2pen",
+PHASE_ORDER = ["pw", "li2o_f", "bases", "bases_prod", "carleo", "n2fix", "n2s2pen",
                "seeds", "zoo", "n2curve", "ablations", "optimizers",
                "seeds_n2"]
 

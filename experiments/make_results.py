@@ -97,6 +97,8 @@ def main(argv=None):
         "zoo_Li2O": "Li2O sto-3g (30q, 41.4M states, sampled)",
         "li2o_x4": "Li2O sto-3g (30q, CISDTQ space, sampled)",
         "li2o_ws": "Li2O sto-3g (30q, CISDTQ full-basis warm start)",
+        "li2o_f1": "Li2O sto-3g (30q, CISDTQ, full mask + eigensolve retarget)",
+        "li2o_pwf": "Li2O sto-3g (30q, full 41.4M-state space, full-mask polish)",
     }
     for k, lab in zoo_labels.items():
         if k in S:
@@ -112,10 +114,12 @@ def main(argv=None):
                    ("h2o_631g", "H2O 6-31G (26q, full-mask, sampled window)"),
                    ("h2o_631g_x4", "H2O 6-31G (26q, CISDTQ-exact protocol)"),
                    ("h2o_631g_x4b", "H2O 6-31G (26q, CISDTQ-exact protocol, rerun)"),
+                   ("h2o_631g_x4f", "H2O 6-31G (26q, CISDTQ-exact, full mask)"),
                    ("h2o_631g_pw", "H2O 6-31G (26q, full basis, production window sampled)"),
                    ("h4o2", "H4O2 water dimer (28q, sampled window)"),
                    ("h4o2_x4", "H4O2 water dimer (28q, CISDTQ-exact protocol)"),
                    ("h4o2_x4b", "H4O2 water dimer (28q, CISDTQ-exact protocol, rerun)"),
+                   ("h4o2_x4f", "H4O2 water dimer (28q, CISDTQ-exact, full mask)"),
                    ("h4o2_pw", "H4O2 water dimer (28q, full basis, production window sampled)")]:
         if k in S:
             A(row(lab, S[k]))
