@@ -798,11 +798,15 @@ class VMCTrainer:
         basis_p = np.concatenate([basis, basis[:pad]]) if pad else basis
         tgt = jnp.full((bs,), target, dtype=jnp.float32)
         rng = np.random.default_rng(self.tc.seed)
-        for _ in range(n_epochs):
+        report = max(1, n_epochs // 10)
+        for ep in range(n_epochs):
             perm = rng.permutation(len(basis_p))
             for b in range(n_batches):
                 sl = jnp.asarray(basis_p[perm[b * bs:(b + 1) * bs]])
                 self.params, opt_state, loss = step(self.params, opt_state, sl, tgt)
+            if (ep + 1) % report == 0 or ep + 1 == n_epochs:
+                print(f"pre_flatten: epoch {ep + 1}/{n_epochs}, "
+                      f"loss={float(loss):.6f}", flush=True)
         return self
 
     def pre_train_targets(self, states: np.ndarray, target_psi: np.ndarray,
@@ -845,8 +849,15 @@ class VMCTrainer:
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        for _ in range(n_epochs):
+        # progress prints double as watchdog keep-alives: a 1500-epoch fit
+        # over a 1e5-state target set is ~10 min of otherwise-silent device
+        # work, longer than the fleet's stall window
+        report = max(1, n_epochs // 15)
+        for ep in range(n_epochs):
             self.params, opt_state, loss = step(self.params, opt_state)
+            if (ep + 1) % report == 0 or ep + 1 == n_epochs:
+                print(f"pre_train_targets: epoch {ep + 1}/{n_epochs}, "
+                      f"loss={float(loss):.6f}", flush=True)
         return float(loss)
 
     def warm_start_from_solve_h(self, n_epochs: int = 500, n_samps: Optional[float] = None,
