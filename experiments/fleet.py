@@ -136,27 +136,28 @@ def build_jobs():
     # x4f re-fits the CISDTQ ground state under the full-mask ansatz
     # (warm-started from the partial-mask x4b model: same param shapes,
     # the early retarget supervision dominates any renormalization shift).
-    # The retarget must come LATE (the supervised eigenvector fit is a
-    # local move: x4 retargeted at step 4100 of 6500 and landed at
-    # +1.16 mHa, while an early-retarget probe at step 100 left the fit
-    # ~55 mHa high with slow recovery) — so x4f follows the proven
-    # schedule: exact descent first, then fit, then polish.
+    # NO eigenvector retarget in the full-mask exact stages: measured on
+    # this chain, the pre_train_targets fit that delivered x4's +1.16 mHa
+    # under PARTIAL masking actively hurts under full masking (post-fit
+    # exact energy fell -76.114 -> -75.96 with var 0.01 -> 0.47; the
+    # democratic log-amp MSE over 149k states trades amplitude-weighted
+    # accuracy for tail fit). The exact stage just descends; the pw stage
+    # owns convergence — its sampled gradient sees the FULL basis at the
+    # production window, which full masking makes genuinely reachable.
     jobs.append(("pw", _job(
         "h2o_631g_x4f", "H2O_6-31G", 4100,
         extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-full_mask_psi", "-l", "data/fleet/h2o_631g_x4b",
-               "-ws_solve_h", "2600", "-ws_epochs", "1500"])))
+               "-full_mask_psi", "-l", "data/fleet/h2o_631g_x4b"])))
     jobs.append(("pw", _job(
-        "h2o_631g_pw", "H2O_6-31G", 3000, samp=SAMP_PROD,
+        "h2o_631g_pw", "H2O_6-31G", 3500, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "100000",
                "-l", "data/fleet/h2o_631g_x4f"])))
     jobs.append(("pw", _job(
-        "h4o2_x4f", "H4O2", 3600,
+        "h4o2_x4f", "H4O2", 3000,
         extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-full_mask_psi", "-pretrain_hf", "300",
-               "-ws_solve_h", "2000", "-ws_epochs", "1500"])))
+               "-full_mask_psi", "-pretrain_hf", "300"])))
     jobs.append(("pw", _job(
-        "h4o2_pw", "H4O2", 3000, samp=SAMP_PROD,
+        "h4o2_pw", "H4O2", 3500, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "100000",
                "-l", "data/fleet/h4o2_x4f"])))
 
@@ -248,16 +249,15 @@ def build_jobs():
     # floor gives a DIRECT chem-acc E_loc row — the partial-mask li2o_ws
     # run stalled +7.9 mHa high on dead-end ancestral mass loss (the same
     # pathology measured on H2O 6-31G, scratch/probe_pw_sampler.py).
-    # f1: full-mask CISDTQ-space training, host-side full-basis eigensolve
-    # retarget (644k states, ~27 min silent -> run with the fleet's
-    # heartbeat-aware stall window), then sampled polish in the CISDTQ
-    # space. No surviving checkpoint to warm from (only summary JSONs were
-    # committed), so f1 starts from an HF pretrain.
+    # f1: full-mask CISDTQ-space sampled training. No eigenvector retarget:
+    # the full-mask pre_train_targets fit measurably hurts (see the pw
+    # chain note above), and the full-basis eigensolve row already exists
+    # (li2o_ws). No surviving checkpoint to warm from (only summary JSONs
+    # were committed), so f1 starts from an HF pretrain.
     jobs.append(("li2o_f", _job(
         "li2o_f1", "Li2O", 2500, samp=SAMP_BIG,
         extra=["-n_excitations_max", "4", "-full_mask_psi",
                "-pretrain_hf", "300", "-save_freq", "100",
-               "-ws_full_basis", "-ws_solve_h", "200", "-ws_epochs", "1500",
                "-solve_h_kmax", "200000"])))
     # pwf: full-space sampled polish at a production-ish window from the
     # f1 model (E_loc over the full 41.4M-state sector can descend below
