@@ -109,6 +109,15 @@ def get_parser() -> argparse.ArgumentParser:
                         "host, so it composes with sampled-mode training "
                         "on systems whose exact-mode device step is "
                         "impractical (Li2O: 644k-state CISDTQ space)")
+    p.add_argument("-ws_loss", default="mse",
+                   choices=["mse", "wmse", "overlap"],
+                   help="fit objective for the solve_H warm start: 'mse' = "
+                        "democratic log-amp MSE (original), 'wmse' = "
+                        "|target|^2-weighted MSE, 'overlap' = log-fidelity "
+                        "max (amplitude-weighted by construction; safe for "
+                        "already-good models where the democratic MSE "
+                        "measurably regresses them — round-3 full-mask "
+                        "finding)")
     p.add_argument("-ws_epochs", type=int, default=500,
                    help="supervised fit epochs for the solve_H warm start "
                         "(the fit, not the eigensolve, bounds how close the "
@@ -383,7 +392,7 @@ def run(args=None) -> dict:
                 # H2O 6-31G CISDTQ space).
                 e_sub, n_sub = trainer.warm_start_from_solve_h(
                     states=hilbert.basis, target_s2=target_s2,
-                    n_epochs=args.ws_epochs)
+                    n_epochs=args.ws_epochs, loss=args.ws_loss)
                 print(f"solve_H warm start (exact mode): E0={e_sub:.6f} Ha "
                       f"over {n_sub} basis states", flush=True)
             trainer.run_exact(max(args.n_train - trainer.n_steps, 0),
@@ -403,7 +412,8 @@ def run(args=None) -> dict:
             ws_states = hilbert.basis if args.ws_full_basis else None
             e_sub, n_sub = trainer.warm_start_from_solve_h(
                 states=ws_states,
-                target_s2=target_s2, n_epochs=args.ws_epochs)
+                target_s2=target_s2, n_epochs=args.ws_epochs,
+                loss=args.ws_loss)
             print(f"solve_H warm start: subspace E0={e_sub:.6f} Ha over "
                   f"{n_sub} " + ("basis" if args.ws_full_basis else
                                  "most-sampled") + " states", flush=True)

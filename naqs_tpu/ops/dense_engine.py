@@ -206,6 +206,23 @@ def _expand_qubits(shell_packed: np.ndarray, spin: int, s: int) -> np.ndarray:
     return out
 
 
+def _shard_chunks(stacked, axis_name, axis_size):
+    """Slice a tuple of (nc, ...) chunk-stacked scan inputs down to this
+    shard's contiguous chunk range (zero-padding nc up to a multiple of
+    axis_size; zero chunks are exact no-ops in both engines since their
+    H values are zero)."""
+    nc = stacked[0].shape[0]
+    nc_pad = -(-nc // axis_size) * axis_size
+    if nc_pad != nc:
+        stacked = tuple(
+            jnp.pad(a, ((0, nc_pad - nc),) + ((0, 0),) * (a.ndim - 1))
+            for a in stacked)
+    per = nc_pad // axis_size
+    i0 = jax.lax.axis_index(axis_name) * per
+    return tuple(jax.lax.dynamic_slice_in_dim(a, i0, per, axis=0)
+                 for a in stacked)
+
+
 def dense_local_energy(
     dn: DenseTerms,
     rank_spec,
@@ -213,6 +230,9 @@ def dense_local_energy(
     log_amp: jnp.ndarray,   # (U,) f32
     phase: jnp.ndarray,     # (U,) f32
     n_valid: jnp.ndarray,   # () int32
+    queries=None,
+    axis_name: str | None = None,
+    axis_size: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """E_loc (re, im) f64 rows for the sampled buffer, dense-grid algorithm.
 
@@ -220,9 +240,16 @@ def dense_local_energy(
     sampled set, rows past n_valid are garbage, and amplitude ratios beyond
     e^30 are clipped (here per row rather than per pair: states that far
     below the peak carry negligible sampling weight either way).
+
+    `queries=(q_states, q_la, q_ph)` restricts the numerator READOUT to
+    those rows (the grid itself is built from the full table — its cost is
+    sample-count independent). Under `axis_name`, the term-chunk scan is
+    split across the mesh and the numerator grid psum'd, so per-chip FLOPs
+    are ~Kxy/D * grid.
     """
     from naqs_tpu.ops.rank import rank_index
 
+    q_states, q_la, q_ph = (states, log_amp, phase) if queries is None else queries
     sa, sb = dn.sa, dn.sb
     u = states.shape[0]
     live = jnp.arange(u) < n_valid
@@ -232,18 +259,22 @@ def dense_local_energy(
     u_re = w * jnp.cos(phase).astype(jnp.float32)
     u_im = w * jnp.sin(phase).astype(jnp.float32)
 
-    idx = rank_index(rank_spec, states)            # [0, sa*sb], sentinel incl
-    ra = jnp.minimum(idx // sb, sa)                # sentinel -> pad row
-    rb = jnp.where(idx >= sa * sb, 0, idx % sb)
+    idx_t = rank_index(rank_spec, states)          # [0, sa*sb], sentinel incl
+    ra_t = jnp.minimum(idx_t // sb, sa)            # sentinel -> pad row
+    rb_t = jnp.where(idx_t >= sa * sb, 0, idx_t % sb)
 
     # channel grid with zero pad row/column; pad rows scatter zeros
     grid = jnp.zeros((sa + 1, sb + 1, 2), jnp.float32)
-    grid = grid.at[ra, rb].set(jnp.stack([u_re, u_im], axis=-1), mode="drop")
+    grid = grid.at[ra_t, rb_t].set(jnp.stack([u_re, u_im], axis=-1), mode="drop")
 
     r1 = grid[dn.r1_idx]                           # (Ka, Sa, Sb+1, 2)
     r1t = jnp.swapaxes(r1, 1, 2).reshape(-1, sa, 2)  # (Ka*(Sb+1), Sa, 2)
 
     nc = dn.row_map.shape[0] // _CHUNK_TERMS
+    xs = (dn.row_map.reshape(nc, _CHUNK_TERMS, sb),
+          dn.h_dense.reshape(nc, _CHUNK_TERMS, sb, sa))
+    if axis_name is not None and axis_size > 1:
+        xs = _shard_chunks(xs, axis_name, axis_size)
 
     def body(acc, xs):
         rm, h = xs                                  # (KC, Sb), (KC, Sb, Sa)
@@ -254,20 +285,24 @@ def dense_local_energy(
     (n_re, n_im), _ = jax.lax.scan(
         body,
         (jnp.zeros((sb, sa), jnp.float32), jnp.zeros((sb, sa), jnp.float32)),
-        (dn.row_map.reshape(nc, _CHUNK_TERMS, sb),
-         dn.h_dense.reshape(nc, _CHUNK_TERMS, sb, sa)),
+        xs,
     )
+    if axis_name is not None and axis_size > 1:
+        n_re, n_im = jax.lax.psum((n_re, n_im), axis_name)
 
-    # numerator at the sampled cells ([rb, ra] layout)
+    # numerator at the queried cells ([rb, ra] layout)
+    idx = idx_t if queries is None else rank_index(rank_spec, q_states)
+    ra = jnp.minimum(idx // sb, sa)
+    rb = jnp.where(idx >= sa * sb, 0, idx % sb)
     flat_t = jnp.where(idx >= sa * sb, sb * sa, rb * sa + ra)
     n_pack = jnp.concatenate(
         [n_re.reshape(-1, 1), n_im.reshape(-1, 1)], axis=1)
     n_pack = jnp.concatenate(
         [n_pack, jnp.zeros((1, 2), jnp.float32)], axis=0)
-    n_s = n_pack[flat_t]                            # (U, 2)
+    n_s = n_pack[flat_t]                            # (Uq, 2)
 
-    ratio = jnp.exp(jnp.clip(ref - log_amp, -30.0, 30.0)).astype(jnp.float32)
-    c, s_ = jnp.cos(phase).astype(jnp.float32), jnp.sin(phase).astype(jnp.float32)
+    ratio = jnp.exp(jnp.clip(ref - q_la, -30.0, 30.0)).astype(jnp.float32)
+    c, s_ = jnp.cos(q_ph).astype(jnp.float32), jnp.sin(q_ph).astype(jnp.float32)
     e_re = (ratio * (n_s[:, 0] * c + n_s[:, 1] * s_)).astype(jnp.float64)
     e_im = (ratio * (n_s[:, 1] * c - n_s[:, 0] * s_)).astype(jnp.float64)
 
@@ -429,10 +464,19 @@ def factored_local_energy(
     log_amp: jnp.ndarray,
     phase: jnp.ndarray,
     n_valid: jnp.ndarray,
+    queries=None,
+    axis_name: str | None = None,
+    axis_size: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """E_loc (re, im) via the factored grid program (see FactorTerms)."""
+    """E_loc (re, im) via the factored grid program (see FactorTerms).
+
+    queries/axis_name/axis_size: as in dense_local_energy — readout rows
+    restricted to the queries, term-chunk scan split over the mesh axis
+    with a psum of the numerator grid.
+    """
     from naqs_tpu.ops.rank import rank_index
 
+    q_states, q_la, q_ph = (states, log_amp, phase) if queries is None else queries
     sa, sb = fn.sa, fn.sb
     u = states.shape[0]
     live = jnp.arange(u) < n_valid
@@ -442,17 +486,23 @@ def factored_local_energy(
     u_re = w * jnp.cos(phase).astype(jnp.float32)
     u_im = w * jnp.sin(phase).astype(jnp.float32)
 
-    idx = rank_index(rank_spec, states)
-    ra = jnp.minimum(idx // sb, sa)
-    rb = jnp.where(idx >= sa * sb, 0, idx % sb)
+    idx_t = rank_index(rank_spec, states)
+    ra_t = jnp.minimum(idx_t // sb, sa)
+    rb_t = jnp.where(idx_t >= sa * sb, 0, idx_t % sb)
     grid = jnp.zeros((sa + 1, sb + 1, 2), jnp.float32)
-    grid = grid.at[ra, rb].set(jnp.stack([u_re, u_im], axis=-1), mode="drop")
+    grid = grid.at[ra_t, rb_t].set(jnp.stack([u_re, u_im], axis=-1), mode="drop")
 
     # alpha permutations materialized once; XLA fuses gather+transpose
     r1t = jnp.swapaxes(grid[fn.pa_idx], 1, 2)      # (Ka, Sb+1, Sa, 2)
     r1t = r1t.reshape(-1, sa, 2)
 
     nc = fn.row_map.shape[0] // _FACT_CHUNK_PAIRS
+    xs = (fn.row_map.reshape(nc, _FACT_CHUNK_PAIRS, sb),
+          fn.fa_idx.reshape(nc, _FACT_CHUNK_PAIRS, _FACT_R),
+          fn.fb_idx.reshape(nc, _FACT_CHUNK_PAIRS, _FACT_R),
+          fn.fcoeff.reshape(nc, _FACT_CHUNK_PAIRS, _FACT_R))
+    if axis_name is not None and axis_size > 1:
+        xs = _shard_chunks(xs, axis_name, axis_size)
 
     def body(acc, xs):
         rm, fa, fb, fc = xs
@@ -468,12 +518,14 @@ def factored_local_energy(
     (n_re, n_im), _ = jax.lax.scan(
         body,
         (jnp.zeros((sb, sa), jnp.float32), jnp.zeros((sb, sa), jnp.float32)),
-        (fn.row_map.reshape(nc, _FACT_CHUNK_PAIRS, sb),
-         fn.fa_idx.reshape(nc, _FACT_CHUNK_PAIRS, _FACT_R),
-         fn.fb_idx.reshape(nc, _FACT_CHUNK_PAIRS, _FACT_R),
-         fn.fcoeff.reshape(nc, _FACT_CHUNK_PAIRS, _FACT_R)),
+        xs,
     )
+    if axis_name is not None and axis_size > 1:
+        n_re, n_im = jax.lax.psum((n_re, n_im), axis_name)
 
+    idx = idx_t if queries is None else rank_index(rank_spec, q_states)
+    ra = jnp.minimum(idx // sb, sa)
+    rb = jnp.where(idx >= sa * sb, 0, idx % sb)
     flat_t = jnp.where(idx >= sa * sb, sb * sa, rb * sa + ra)
     n_pack = jnp.concatenate(
         [n_re.reshape(-1, 1), n_im.reshape(-1, 1)], axis=1)
@@ -481,8 +533,8 @@ def factored_local_energy(
         [n_pack, jnp.zeros((1, 2), jnp.float32)], axis=0)
     n_s = n_pack[flat_t]
 
-    ratio = jnp.exp(jnp.clip(ref - log_amp, -30.0, 30.0)).astype(jnp.float32)
-    c, s_ = jnp.cos(phase).astype(jnp.float32), jnp.sin(phase).astype(jnp.float32)
+    ratio = jnp.exp(jnp.clip(ref - q_la, -30.0, 30.0)).astype(jnp.float32)
+    c, s_ = jnp.cos(q_ph).astype(jnp.float32), jnp.sin(q_ph).astype(jnp.float32)
     e_re = (ratio * (n_s[:, 0] * c + n_s[:, 1] * s_)).astype(jnp.float64)
     e_im = (ratio * (n_s[:, 1] * c - n_s[:, 0] * s_)).astype(jnp.float64)
     e_diag = fn.e_diag[jnp.minimum(idx, sa * sb)]

@@ -248,6 +248,9 @@ def local_energy(
     phase: jnp.ndarray,
     n_valid: jnp.ndarray,
     chunk_rows: int | None = None,
+    queries: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    axis_name: str | None = None,
+    axis_size: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Local energies (re, im) f64 for a sorted, SENTINEL-padded state buffer.
 
@@ -255,6 +258,16 @@ def local_energy(
     Dispatches to the dense sector-grid engine (ops/dense_engine) when the
     terms carry a DenseTerms program; the rank/sort membership engines
     below handle everything else.
+
+    `queries=(q_states, q_la, q_ph)` computes E_loc only for those rows
+    while psi(s') is still resolved against the full (states, log_amp,
+    phase, n_valid) table — the multi-chip contract (SURVEY.md section
+    2.3(d): each chip expands ITS OWN samples against the global sampled
+    support). `axis_name`/`axis_size` (inside shard_map) additionally
+    split the dense/factored engines' term-chunk scan across the mesh
+    with a psum of the numerator grid, so per-chip engine FLOPs scale as
+    1/D for those engines too (the membership engines already scale via
+    the query split).
     """
     if dt.dense is not None:
         from naqs_tpu.ops.dense_engine import (
@@ -262,15 +275,17 @@ def local_energy(
 
         impl = (factored_local_energy
                 if isinstance(dt.dense, FactorTerms) else dense_local_energy)
-        return impl(dt.dense, dt.rank_spec, states, log_amp, phase, n_valid)
-    u = states.shape[0]
+        return impl(dt.dense, dt.rank_spec, states, log_amp, phase, n_valid,
+                    queries=queries, axis_name=axis_name, axis_size=axis_size)
+    q_states, q_la, q_ph = (states, log_amp, phase) if queries is None else queries
+    u = q_states.shape[0]
     c = chunk_rows or _chunk_rows(int(dt.xy_unique.shape[0]), int(dt.yz_unique.shape[0]))
     c = min(c, u)
     n_chunks = -(-u // c)
     pad = n_chunks * c - u
-    s_p = jnp.pad(states, (0, pad), constant_values=np.uint64(2**64 - 1))
-    la_p = jnp.pad(log_amp, (0, pad))
-    ph_p = jnp.pad(phase, (0, pad))
+    s_p = jnp.pad(q_states, (0, pad), constant_values=np.uint64(2**64 - 1))
+    la_p = jnp.pad(q_la, (0, pad))
+    ph_p = jnp.pad(q_ph, (0, pad))
     if dt.rank_spec is not None:
         rec = build_value_table(dt.rank_spec, states, log_amp, phase, n_valid)
         if dyn_gather.pallas_gather_enabled(dt.rank_spec.size + 1):

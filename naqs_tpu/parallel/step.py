@@ -87,13 +87,19 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap,
     )
     n_unique_global = jnp.sum(new_key & g_live_s).astype(jnp.int32)
 
-    # method="sort" lowers to sort+scatter instead of the per-query scan
-    # (measured ~3000x faster on TPU for this shape class)
-    pos = jnp.searchsorted(g_states, batch.states, method="sort")
-    pos = jnp.minimum(pos, g_states.shape[0] - 1)
-    e_re_g, e_im_g = local_energy(dt, g_states, g_la, g_ph, g_n_valid)
-    e_re = jnp.where(live, e_re_g[pos], 0.0)
-    e_im = jnp.where(live, e_im_g[pos], 0.0)
+    # E_loc for the shard's OWN rows only, resolved against the gathered
+    # global psi table (SURVEY.md section 2.3(d): each chip expands its
+    # own samples). The membership engines chunk over the local cap rows
+    # (per-chip gather work = global/D); the dense/factored engines
+    # additionally split their term-chunk scan over the mesh and psum the
+    # numerator grid, so the engine hot stage scales ~1/D either way.
+    e_re_l, e_im_l = local_energy(
+        dt, g_states, g_la, g_ph, g_n_valid,
+        queries=(batch.states, la_l, ph_l),
+        axis_name="dp", axis_size=n_dev,
+    )
+    e_re = jnp.where(live, e_re_l, 0.0)
+    e_im = jnp.where(live, e_im_l, 0.0)
 
     if reweight_by_psi:
         mult = (jnp.searchsorted(g_states, batch.states, side="right",

@@ -811,18 +811,35 @@ class VMCTrainer:
 
     def pre_train_targets(self, states: np.ndarray, target_psi: np.ndarray,
                           n_epochs: int, lr: float = 5e-3,
-                          mag_floor: float = 1e-8):
+                          mag_floor: float = 1e-8, loss: str = "mse"):
         """Supervised warm start towards given complex amplitudes on given
         states (generalizes the reference's pre_train target_amps path,
-        energy.py:799-828): fits log|psi| by MSE and the sign/phase by a
-        cosine loss.
+        energy.py:799-828).
 
-        `mag_floor` clamps |target|/max(|target|) from below. It must stay
-        moderate: fitting log-amp targets of log(1e-30) = -69 for numerically
-        zero eigenvector entries collapses the sampled distribution onto a
-        near-delta (observed on stretched N2: n_unique -> 1, zero gradient,
-        then NaN weights), because the conditional renormalization
-        concentrates all removed mass on the dominant state."""
+        `loss` selects the fit objective:
+          - "mse": fits log|psi| by unweighted MSE and the sign/phase by a
+            cosine loss (the original protocol). Democratic over states: a
+            149k-state fit spends most of its gradient on tail entries,
+            which measurably HURTS an already-good full-mask model (round-3
+            finding: post-fit exact energy fell -76.114 -> -75.96 on
+            H2O 6-31G CISDTQ while the fit loss decreased).
+          - "wmse": the same per-state losses weighted by |target|^2 (mixed
+            with 5% uniform so tail states stay constrained) — the weighted
+            mean is removed under the same weights, so the common log-amp
+            offset stays free.
+          - "overlap": maximizes log-fidelity
+            log(|<t|psi>|^2 / <psi_S|psi_S>) over the fitted set S — the
+            quantity VMC actually needs from a warm start, invariant to
+            normalization, and automatically amplitude-weighted. For a
+            full-basis eigenvector target this is exact log-infidelity.
+
+        `mag_floor` (mse path) clamps |target|/max(|target|) from below. It
+        must stay moderate: fitting log-amp targets of log(1e-30) = -69 for
+        numerically zero eigenvector entries collapses the sampled
+        distribution onto a near-delta (observed on stretched N2:
+        n_unique -> 1, zero gradient, then NaN weights), because the
+        conditional renormalization concentrates all removed mass on the
+        dominant state."""
         states = np.asarray(states, dtype=np.uint64)
         order = np.argsort(states)
         states = states[order]
@@ -831,6 +848,9 @@ class VMCTrainer:
         mag = np.maximum(mag / max(mag.max(), 1e-300), mag_floor)
         la_t = jnp.asarray(np.log(mag), dtype=jnp.float32)
         ph_t = jnp.asarray(np.angle(t), dtype=jnp.float32)
+        w_t = np.abs(t) ** 2
+        w_t = w_t / max(w_t.sum(), 1e-300)
+        w_t = jnp.asarray(0.95 * w_t + 0.05 / len(t), dtype=jnp.float32)
         s_dev = jnp.asarray(states)
         opt = optax.adam(lr)
         opt_state = opt.init(self.params)
@@ -839,15 +859,31 @@ class VMCTrainer:
         def step(params, opt_state):
             def loss_fn(p):
                 la, ph = log_psi(self.cfg, p, s_dev)
-                # match log-amplitudes up to a common constant
+                if loss == "overlap":
+                    # log <psi_S|psi_S> - log |<t|psi>|^2, computed stably
+                    # in log space (la is arbitrarily normalized)
+                    m = jax.lax.stop_gradient(jnp.max(la))
+                    r = jnp.exp(la - m)
+                    norm = jnp.log(jnp.sum(r * r))
+                    dph = ph - ph_t
+                    ov_re = jnp.sum(jnp.exp(la_t) * r * jnp.cos(dph))
+                    ov_im = jnp.sum(jnp.exp(la_t) * r * jnp.sin(dph))
+                    ov = jnp.log(ov_re**2 + ov_im**2 + 1e-300)
+                    return norm - ov
+                if loss == "wmse":
+                    d = la - la_t
+                    d = d - jnp.sum(w_t * d)
+                    return (jnp.sum(w_t * d * d)
+                            + jnp.sum(w_t * (1.0 - jnp.cos(ph - ph_t))))
+                # "mse": match log-amplitudes up to a common constant
                 d = la - la_t
                 loss_amp = jnp.mean((d - jnp.mean(d)) ** 2)
                 loss_ph = jnp.mean(1.0 - jnp.cos(ph - ph_t))
                 return loss_amp + loss_ph
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss_v, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return optax.apply_updates(params, updates), opt_state, loss_v
 
         # progress prints double as watchdog keep-alives: a 1500-epoch fit
         # over a 1e5-state target set is ~10 min of otherwise-silent device
@@ -864,7 +900,8 @@ class VMCTrainer:
                                 k_max: int = 10000, lr: float = 2e-3,
                                 select_min: float = 1e-4,
                                 states: Optional[np.ndarray] = None,
-                                target_s2: Optional[float] = None):
+                                target_s2: Optional[float] = None,
+                                loss: str = "mse"):
         """Escape optimization traps by re-targeting the model at the ground
         state of H restricted to the currently-sampled subspace: sample ->
         diagonalize (host, native C++ assembly) -> supervised pre-train to
@@ -914,7 +951,7 @@ class VMCTrainer:
         if keep.sum() < 2:  # degenerate fit target: fall back to all entries
             keep = np.ones(len(vec), bool)
         self.pre_train_targets(states[keep], vec[keep].astype(np.complex128),
-                               n_epochs, lr=lr)
+                               n_epochs, lr=lr, loss=loss)
         if explicit_states:
             # only explicit-subspace (full-basis) solves are reusable as
             # the final "VMC+FCI": a counter-subspace E0 is tied to the

@@ -172,3 +172,99 @@ def test_trainer_sharded_step_controller_resamples_on_overflow():
     out = tr.step()
     assert np.isfinite(out["e_loc"])
     assert tr.n_steps == 1
+
+
+def _mk_shard_buffers(h, n_per=16, n_dev=8, seed=0):
+    """Disjoint per-shard sorted SENTINEL-padded buffers with ragged valid
+    counts, plus the merged global table (what all_gather+sort produces)."""
+    from naqs_tpu.utils.bits import SENTINEL
+
+    rng = np.random.default_rng(seed)
+    basis = np.asarray(h.basis, np.uint64)
+    nus = np.array([n_per - (d % 3) for d in range(n_dev)])
+    sel = rng.choice(len(basis), size=int(nus.sum()), replace=False)
+    la_g = (rng.normal(size=nus.sum()).astype(np.float32) - 1.0)
+    ph_g = rng.normal(size=nus.sum()).astype(np.float32)
+    qs = np.full((n_dev, n_per), SENTINEL, np.uint64)
+    qla = np.zeros((n_dev, n_per), np.float32)
+    qph = np.zeros((n_dev, n_per), np.float32)
+    off = 0
+    for d in range(n_dev):
+        nu = nus[d]
+        order = np.argsort(basis[sel[off:off + nu]])
+        qs[d, :nu] = basis[sel[off:off + nu]][order]
+        qla[d, :nu] = la_g[off:off + nu][order]
+        qph[d, :nu] = ph_g[off:off + nu][order]
+        off += nu
+    flat = qs.reshape(-1)
+    o = np.argsort(flat, kind="stable")
+    return (qs, qla, qph, nus,
+            flat[o], qla.reshape(-1)[o], qph.reshape(-1)[o], int(nus.sum()))
+
+
+def _run_sharded_eloc(dt, qs, qla, qph, n_dev=8):
+    from jax.sharding import PartitionSpec as P
+
+    from naqs_tpu.ops.local_energy import local_energy
+
+    mesh = make_mesh()
+
+    def f(qs, qla, qph):
+        qs, qla, qph = qs[0], qla[0], qph[0]
+        gs = jax.lax.all_gather(qs, "dp").reshape(-1)
+        gla = jax.lax.all_gather(qla, "dp").reshape(-1)
+        gph = jax.lax.all_gather(qph, "dp").reshape(-1)
+        order = jnp.argsort(gs)
+        gs, gla, gph = gs[order], gla[order], gph[order]
+        from naqs_tpu.utils.bits import SENTINEL
+        gnv = jnp.sum(gs != jnp.uint64(SENTINEL)).astype(jnp.int32)
+        e_re, e_im = local_energy(dt, gs, gla, gph, gnv,
+                                  queries=(qs, qla, qph),
+                                  axis_name="dp", axis_size=n_dev)
+        return e_re[None], e_im[None]
+
+    sharded = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("dp"), P("dp"), P("dp")),
+        out_specs=P("dp"), check_vma=False))
+    return sharded(jnp.asarray(qs), jnp.asarray(qla), jnp.asarray(qph))
+
+
+def test_sharded_eloc_matches_single_chip_all_engines():
+    """VERDICT r3 #1: the mesh step computes E_loc for each shard's OWN rows
+    against the global table. Per-row energies must match the single-chip
+    engine over the merged buffer, for every engine path (dense grid,
+    factored grid, rank membership, sort membership)."""
+    import dataclasses
+
+    from naqs_tpu.ops.dense_engine import DenseTerms, FactorTerms
+    from naqs_tpu.ops.local_energy import local_energy
+
+    mol = nq.load_molecule("LiH")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    qs, qla, qph, nus, gs, gla, gph, gnv = _mk_shard_buffers(h, n_per=16)
+
+    dt_dense = DeviceTerms.from_terms(terms, hilbert=h)
+    assert isinstance(dt_dense.dense, DenseTerms)
+    dt_fact = dataclasses.replace(dt_dense, dense=FactorTerms.build(terms, h))
+    dt_rank = dataclasses.replace(dt_dense, dense=None)
+    dt_sort = DeviceTerms.from_terms(terms)
+    assert dt_sort.rank_spec is None and dt_sort.dense is None
+
+    for label, dt in [("dense", dt_dense), ("fact", dt_fact),
+                      ("rank", dt_rank), ("sort", dt_sort)]:
+        e_re_1, e_im_1 = local_energy(
+            dt, jnp.asarray(gs), jnp.asarray(gla), jnp.asarray(gph),
+            jnp.int32(gnv))
+        e_re_1, e_im_1 = np.asarray(e_re_1), np.asarray(e_im_1)
+        e_re_s, e_im_s = _run_sharded_eloc(dt, qs, qla, qph)
+        e_re_s, e_im_s = np.asarray(e_re_s), np.asarray(e_im_s)
+        pos = np.searchsorted(gs, qs.reshape(-1)).reshape(qs.shape)
+        for d in range(8):
+            nu = nus[d]
+            np.testing.assert_allclose(
+                e_re_s[d, :nu], e_re_1[pos[d, :nu]],
+                rtol=2e-6, atol=2e-6, err_msg=f"{label} re shard {d}")
+            np.testing.assert_allclose(
+                e_im_s[d, :nu], e_im_1[pos[d, :nu]],
+                rtol=2e-6, atol=2e-6, err_msg=f"{label} im shard {d}")
