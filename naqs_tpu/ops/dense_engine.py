@@ -539,3 +539,367 @@ def factored_local_energy(
     e_im = (ratio * (n_s[:, 1] * c - n_s[:, 0] * s_)).astype(jnp.float64)
     e_diag = fn.e_diag[jnp.minimum(idx, sa * sb)]
     return e_diag + e_re, e_im
+
+
+# ---------------------------------------------------------------------------
+# FactorTermsXL: exc-blocked staircase grid for n_exc-filtered sectors
+# ---------------------------------------------------------------------------
+
+# XL caps: staircase cells (numerator carry + diagonal) and the rectangular
+# U / R1T working buffers. Defaults cover Li2O CISDTQ (644,365 cells;
+# 5056^2 * 8 B = 204 MB buffers).
+XL_CELLS_MAX = int(os.environ.get("NAQS_TPU_XL_CELLS_MAX", 1 << 23))
+XL_U_BYTES_MAX = int(os.environ.get("NAQS_TPU_XL_U_MAX", 1 << 28))
+_XL_CHUNK = 64  # max masks per scan step (bounds the (g, cells, 2) T buffer)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class FactorTermsXL:
+    """Exc-blocked factored grid program for n_exc_max-filtered sectors.
+
+    FactorTerms computes the FULL rectangular (Sa, Sb) sector grid, which is
+    wasteful (or impossible: Li2O's full grid is 41.4M cells, its r1t buffer
+    151 GB) when an n_excitations_max filter keeps only a sliver. The
+    excitation count is SEPARABLE: exc(s) = exc_a(alpha) + exc_b(beta)
+    (utils/hilbert.py:124-148), so the valid set factorizes into a block
+    STAIRCASE: order alpha combos by (exc_a, colex) and beta combos by
+    (exc_b, colex); a cell (a, b) is valid iff exc_a(a) + exc_b(b) <= E,
+    i.e. each alpha block ka sees a contiguous beta PREFIX of width
+    P[E-ka]. Li2O CISDTQ: 644,365 staircase cells vs 25.6M restricted-
+    rectangular vs 41.4M full — a 40x compute cut that makes exact-mode
+    training over the whole CISDTQ basis tractable (the rank engine's
+    644k-query expansion reproducibly wedged the tunnel, fleet.py notes).
+
+    Per call: scan over alpha-flip-mask groups; each step materializes ONE
+    alpha-permuted transposed copy of the (Sa*+1, Sb*+1) value grid
+    (stage 1, the HBM-bandwidth cost), then contracts that group's masks
+    against on-the-fly rank-1 Hamiltonian factors BLOCK-WISE, touching only
+    staircase cells (stage 2). Groups are split into <=_XL_CHUNK-mask
+    chunks and bucketed by pow-2 padded size so the compiled program is a
+    handful of static-shape scans.
+
+    Reference semantics matched: H restricted to the n_exc<=E basis — a
+    coupled state outside the staircase reads the zero pad row/col, i.e.
+    psi=0 truncation exactly like hamiltonian.py:321-328's full2restricted
+    == -1 masking.
+    """
+
+    perm_a: jnp.ndarray    # (Sa_full+1,) int32 colex rank -> blocked idx | Sa*
+    perm_b: jnp.ndarray    # (Sb_full+1,) int32
+    width: jnp.ndarray     # (Sa*+1,) int32 staircase row width (sentinel 0)
+    cells_off: jnp.ndarray  # (Sa*+1,) int32 packed row offset (sentinel -> n_cells)
+    pa_idx: jnp.ndarray    # (Ka, Sa*) int32 alpha image under each flip | Sa*
+    pb_idx: jnp.ndarray    # (Kb, Sb*) int32
+    par_a: jnp.ndarray     # (Kya, Sa*) f32 +-1 parities, blocked column order
+    par_b: jnp.ndarray     # (Kyb, Sb*) f32
+    e_diag: jnp.ndarray    # (n_cells + 1,) f64, 0 at the sentinel
+    # per-bucket scan inputs (tuples over buckets; each entry stacked (G, ...)):
+    b_pa_row: tuple        # (G,) int32 row of pa_idx for the chunk's xa group
+    b_pb_row: tuple        # (G, gsz) int32 rows of pb_idx (0 pad)
+    b_fa: tuple            # (G, gsz, R) int32 rows of par_a (0 pad)
+    b_fb: tuple            # (G, gsz, R) int32 rows of par_b (0 pad)
+    b_fc: tuple            # (G, gsz, R) f32 coefficients (0 pad = exact no-op)
+    sa: int                # Sa* (blocked alpha count)
+    sb: int                # Sb*
+    sa_full: int
+    sb_full: int
+    blocks: tuple          # ((a_off, a_cnt, p_width), ...) per alpha exc block
+    n_cells: int
+
+    def tree_flatten(self):
+        return (
+            (self.perm_a, self.perm_b, self.width, self.cells_off,
+             self.pa_idx, self.pb_idx, self.par_a, self.par_b, self.e_diag,
+             self.b_pa_row, self.b_pb_row, self.b_fa, self.b_fb, self.b_fc),
+            (self.sa, self.sb, self.sa_full, self.sb_full, self.blocks,
+             self.n_cells),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, sa=aux[0], sb=aux[1], sa_full=aux[2],
+                   sb_full=aux[3], blocks=aux[4], n_cells=aux[5])
+
+    @staticmethod
+    def supported(terms, hilbert) -> bool:
+        if hilbert.n_exc_max is None or len(set(hilbert.sectors)) != 1:
+            return False
+        if int(np.bincount(np.asarray(terms.gxy)).max()) > _FACT_R:
+            return False
+        (na, nb), = set(hilbert.sectors)
+        s = hilbert.n_shells
+        E = hilbert.n_exc_max
+        a_cnt = [comb(na, k) * comb(s - na, k) for k in range(min(E, na, s - na) + 1)]
+        b_cnt = [comb(nb, k) * comb(s - nb, k) for k in range(min(E, nb, s - nb) + 1)]
+        sa_r, sb_r = sum(a_cnt), sum(b_cnt)
+        cells = sum(
+            ca * sum(b_cnt[: max(0, E - k + 1)]) for k, ca in enumerate(a_cnt))
+        return (cells <= XL_CELLS_MAX
+                and (sa_r + 1) * (sb_r + 1) * 8 <= XL_U_BYTES_MAX)
+
+    @staticmethod
+    def build(terms, hilbert) -> "FactorTermsXL":
+        assert FactorTermsXL.supported(terms, hilbert)
+        (na, nb), = set(hilbert.sectors)
+        s = hilbert.n_shells
+        E = hilbert.n_exc_max
+
+        def blocked(n_occ):
+            packed = _colex_ranks(s, n_occ)           # colex order
+            hf = (1 << n_occ) - 1
+            exc = np.bitwise_count(
+                packed.astype(np.uint64) & np.uint64(~hf & ((1 << s) - 1)))
+            keep = exc <= E
+            order = np.lexsort((np.arange(len(packed)), exc))  # (exc, colex)
+            order = order[keep[order]]
+            n_r = len(order)
+            perm = np.full(len(packed) + 1, n_r, np.int32)
+            perm[order] = np.arange(n_r, dtype=np.int32)
+            cnt = np.bincount(exc[order].astype(np.int64),
+                              minlength=E + 1).astype(np.int64)
+            return packed, order, perm, cnt
+
+        alpha_packed, a_sel, perm_a, a_cnt = blocked(na)
+        beta_packed, b_sel, perm_b, b_cnt = blocked(nb)
+        sa_r, sb_r = len(a_sel), len(b_sel)
+        sa_full, sb_full = len(alpha_packed), len(beta_packed)
+        b_cum = np.cumsum(b_cnt)                       # beta prefix widths
+        p_of_k = np.array([b_cum[min(E - k, E)] if k <= E else 0
+                           for k in range(E + 1)], np.int64)
+
+        # per-row widths and packed offsets (rows ordered by (ka, colex))
+        ka_of_row = np.repeat(np.arange(E + 1), a_cnt)
+        width = np.zeros(sa_r + 1, np.int32)
+        width[:sa_r] = p_of_k[ka_of_row]
+        cells_off = np.zeros(sa_r + 1, np.int32)
+        cells_off[1:] = np.cumsum(width[:sa_r])
+        n_cells = int(cells_off[sa_r])
+        a_off = np.concatenate([[0], np.cumsum(a_cnt)])
+        blocks = tuple(
+            (int(a_off[k]), int(a_cnt[k]), int(p_of_k[k]))
+            for k in range(E + 1) if a_cnt[k] > 0)
+
+        def split(masks):
+            a = np.zeros(len(masks), np.int64)
+            b = np.zeros(len(masks), np.int64)
+            for j in range(s):
+                a |= ((masks >> np.uint64(2 * j)) & 1).astype(np.int64) << j
+                b |= ((masks >> np.uint64(2 * j + 1)) & 1).astype(np.int64) << j
+            return a, b
+
+        xy = np.asarray(terms.xy_unique, dtype=np.uint64)
+        xa, xb = split(xy)
+        ua, ga = np.unique(xa, return_inverse=True)
+        ub, gb = np.unique(xb, return_inverse=True)
+
+        def image_map(packed, sel, perm, flips, n_r):
+            """(len(flips), n_r) int32: blocked idx -> blocked idx of ^flip."""
+            rank_of = {int(p): r for r, p in enumerate(packed)}
+            out = np.full((len(flips), n_r), n_r, np.int32)
+            sel_packed = packed[sel]
+            for fi, f in enumerate(flips):
+                for r, p in enumerate(sel_packed):
+                    q = rank_of.get(int(p) ^ int(f))
+                    if q is not None:
+                        out[fi, r] = perm[q]           # may be n_r (exc > E)
+            return out
+
+        pa_idx = image_map(alpha_packed, a_sel, perm_a, ua, sa_r)
+        pb_idx = image_map(beta_packed, b_sel, perm_b, ub, sb_r)
+
+        # rank-1 parity factors over the BLOCKED combo orders
+        yz = np.asarray(terms.yz_unique, np.uint64)[np.asarray(terms.gyz)]
+        ya, yb = split(yz)
+        uya, ja = np.unique(ya, return_inverse=True)
+        uyb, jb = np.unique(yb, return_inverse=True)
+        par_a = 1.0 - 2.0 * (np.bitwise_count(
+            alpha_packed[a_sel][None, :].astype(np.uint64)
+            & uya[:, None].astype(np.uint64)) & 1).astype(np.float32)
+        par_b = 1.0 - 2.0 * (np.bitwise_count(
+            beta_packed[b_sel][None, :].astype(np.uint64)
+            & uyb[:, None].astype(np.uint64)) & 1).astype(np.float32)
+
+        kxy = len(xy)
+        gxy = np.asarray(terms.gxy)
+        coeff = np.asarray(terms.coeff, np.float32)
+        fa_idx = np.zeros((kxy, _FACT_R), np.int32)
+        fb_idx = np.zeros((kxy, _FACT_R), np.int32)
+        fcoeff = np.zeros((kxy, _FACT_R), np.float32)
+        fill = np.zeros((kxy,), np.int64)
+        for j in range(len(coeff)):
+            x = gxy[j]
+            r = fill[x]
+            fa_idx[x, r] = ja[j]
+            fb_idx[x, r] = jb[j]
+            fcoeff[x, r] = coeff[j]
+            fill[x] = r + 1
+
+        # group masks by alpha flip, split groups into <=_XL_CHUNK chunks,
+        # bucket chunks by pow-2 padded size -> a few static-shape scans
+        from collections import defaultdict
+
+        group_masks = defaultdict(list)
+        for k in range(kxy):
+            group_masks[int(ga[k])].append(k)
+        chunks = []
+        for g, ms in sorted(group_masks.items()):
+            for i in range(0, len(ms), _XL_CHUNK):
+                chunks.append((g, ms[i:i + _XL_CHUNK]))
+        buckets = defaultdict(list)
+        for g, ms in chunks:
+            gsz = 1 << int(np.ceil(np.log2(len(ms))))
+            buckets[max(1, gsz)].append((g, ms))
+        b_pa_row, b_pb_row, b_fa, b_fb, b_fc = [], [], [], [], []
+        for gsz in sorted(buckets):
+            entries = buckets[gsz]
+            G = len(entries)
+            pa_row = np.zeros((G,), np.int32)
+            pb_row = np.zeros((G, gsz), np.int32)
+            fa = np.zeros((G, gsz, _FACT_R), np.int32)
+            fb = np.zeros((G, gsz, _FACT_R), np.int32)
+            fc = np.zeros((G, gsz, _FACT_R), np.float32)
+            for i, (g, ms) in enumerate(entries):
+                pa_row[i] = g
+                for j, m in enumerate(ms):
+                    pb_row[i, j] = gb[m]
+                    fa[i, j] = fa_idx[m]
+                    fb[i, j] = fb_idx[m]
+                    fc[i, j] = fcoeff[m]
+            b_pa_row.append(jnp.asarray(pa_row))
+            b_pb_row.append(jnp.asarray(pb_row))
+            b_fa.append(jnp.asarray(fa))
+            b_fb.append(jnp.asarray(fb))
+            b_fc.append(jnp.asarray(fc))
+
+        # f64 diagonal over the staircase cells in packed order
+        a_states = _expand_qubits(alpha_packed[a_sel], 0, s)
+        b_states = _expand_qubits(beta_packed[b_sel], 1, s)
+        cell_states = np.concatenate(
+            [(a_states[off:off + cnt, None] | b_states[None, :pw]).ravel()
+             for off, cnt, pw in blocks])
+        assert len(cell_states) == n_cells
+        e_diag = np.zeros((n_cells + 1,), np.float64)
+        dyz = np.asarray(terms.diag_yz, np.uint64)
+        dco = np.asarray(terms.diag_coeff, np.float64)
+        for j in range(len(dco)):
+            par = 1.0 - 2.0 * (
+                np.bitwise_count(cell_states & dyz[j]) & np.uint64(1)
+            ).astype(np.float64)
+            e_diag[:-1] += dco[j] * par
+
+        return FactorTermsXL(
+            perm_a=jnp.asarray(perm_a), perm_b=jnp.asarray(perm_b),
+            width=jnp.asarray(width), cells_off=jnp.asarray(cells_off),
+            pa_idx=jnp.asarray(pa_idx), pb_idx=jnp.asarray(pb_idx),
+            par_a=jnp.asarray(par_a), par_b=jnp.asarray(par_b),
+            e_diag=jnp.asarray(e_diag),
+            b_pa_row=tuple(b_pa_row), b_pb_row=tuple(b_pb_row),
+            b_fa=tuple(b_fa), b_fb=tuple(b_fb), b_fc=tuple(b_fc),
+            sa=sa_r, sb=sb_r, sa_full=sa_full, sb_full=sb_full,
+            blocks=blocks, n_cells=n_cells,
+        )
+
+
+def _xl_blocked_idx(fn: FactorTermsXL, rank_spec, ss):
+    """(a_hat, b_hat) blocked combo indices of packed states (sa/sb invalid)."""
+    from naqs_tpu.ops.rank import rank_index
+
+    idx = rank_index(rank_spec, ss)
+    full = fn.sa_full * fn.sb_full
+    ra = jnp.minimum(idx // fn.sb_full, fn.sa_full)
+    rb = jnp.where(idx >= full, fn.sb_full, idx % fn.sb_full)
+    return fn.perm_a[ra], fn.perm_b[rb]
+
+
+def factored_xl_local_energy(
+    fn: FactorTermsXL,
+    rank_spec,
+    states: jnp.ndarray,
+    log_amp: jnp.ndarray,
+    phase: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    queries=None,
+    axis_name: str | None = None,
+    axis_size: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """E_loc (re, im) via the exc-blocked staircase program (FactorTermsXL).
+
+    Semantics match the other engines: psi = 0 outside the sampled set AND
+    outside the n_exc_max-restricted basis; rows past n_valid are garbage.
+    queries/axis_name/axis_size as in dense_local_energy (the group scans
+    are sharded over the mesh axis; the staircase numerator blocks psum).
+    """
+    q_states, q_la, q_ph = (states, log_amp, phase) if queries is None else queries
+    sa, sb = fn.sa, fn.sb
+    u = states.shape[0]
+    live = jnp.arange(u) < n_valid
+    la = jnp.where(live, log_amp, -jnp.inf)
+    ref = jnp.max(la)
+    w = jnp.where(live, jnp.exp(log_amp - ref), 0.0).astype(jnp.float32)
+    u_re = w * jnp.cos(phase).astype(jnp.float32)
+    u_im = w * jnp.sin(phase).astype(jnp.float32)
+
+    ah, bh = _xl_blocked_idx(fn, rank_spec, states)
+    ah = jnp.where(live, ah, sa)
+    bh = jnp.where(live, bh, sb)
+    grid = jnp.zeros((sa + 1, sb + 1, 2), jnp.float32)
+    grid = grid.at[ah, bh].set(jnp.stack([u_re, u_im], axis=-1), mode="drop")
+    # the pad row/col must read as psi=0 (SENTINEL buffer rows land there)
+    grid = grid.at[sa, :].set(0.0)
+    grid = grid.at[:, sb].set(0.0)
+
+    n_blocks = tuple(
+        jnp.zeros((pw, cnt, 2), jnp.float32) for (_, cnt, pw) in fn.blocks)
+
+    for bi in range(len(fn.b_pa_row)):
+        xs = (fn.b_pa_row[bi], fn.b_pb_row[bi],
+              fn.b_fa[bi], fn.b_fb[bi], fn.b_fc[bi])
+        if axis_name is not None and axis_size > 1:
+            xs = _shard_chunks(xs, axis_name, axis_size)
+
+        def body(carry, x):
+            pa_r, pb_r, fa_c, fb_c, fc_c = x
+            # stage 1: one alpha-permuted transposed grid for this xa group
+            r1t = jnp.swapaxes(grid[fn.pa_idx[pa_r]], 0, 1)  # (sb+1, sa, 2)
+            pbsel = fn.pb_idx[pb_r]                          # (g, sb)
+            out = []
+            for k, (a_off, a_cnt, pw) in enumerate(fn.blocks):
+                # stage 2: block-column pre-slice BEFORE the row gather so
+                # the gathered buffer is (g, pw, a_cnt), never (g, pw, sa)
+                r1t_k = jax.lax.dynamic_slice_in_dim(r1t, a_off, a_cnt, axis=1)
+                t = r1t_k[pbsel[:, :pw]]                     # (g, pw, a_cnt, 2)
+                pa_f = jax.lax.dynamic_slice_in_dim(
+                    fn.par_a[fa_c], a_off, a_cnt, axis=2)    # (g, R, a_cnt)
+                pb_f = fn.par_b[fb_c][:, :, :pw] * fc_c[:, :, None]
+                h = jnp.einsum(
+                    "grp,gra->gpa", pb_f, pa_f,
+                    precision=jax.lax.Precision.HIGHEST)     # (g, pw, a_cnt)
+                out.append(carry[k] + jnp.stack(
+                    [jnp.einsum("gpa,gpa->pa", h, t[..., 0]),
+                     jnp.einsum("gpa,gpa->pa", h, t[..., 1])], axis=-1))
+            return tuple(out), None
+
+        n_blocks, _ = jax.lax.scan(body, n_blocks, xs)
+
+    if axis_name is not None and axis_size > 1:
+        n_blocks = jax.lax.psum(n_blocks, axis_name)
+
+    # packed readout: (a-major, beta-prefix) order matches cells_off
+    n_pack = jnp.concatenate(
+        [jnp.swapaxes(blk, 0, 1).reshape(-1, 2) for blk in n_blocks]
+        + [jnp.zeros((1, 2), jnp.float32)], axis=0)
+
+    ahq, bhq = _xl_blocked_idx(fn, rank_spec, q_states)
+    wq = fn.width[jnp.minimum(ahq, sa)]
+    valid = (ahq < sa) & (bhq < wq)
+    cell = jnp.where(valid, fn.cells_off[jnp.minimum(ahq, sa)] + bhq,
+                     fn.n_cells)
+    n_s = n_pack[cell]
+
+    ratio = jnp.exp(jnp.clip(ref - q_la, -30.0, 30.0)).astype(jnp.float32)
+    c, s_ = jnp.cos(q_ph).astype(jnp.float32), jnp.sin(q_ph).astype(jnp.float32)
+    e_re = (ratio * (n_s[:, 0] * c + n_s[:, 1] * s_)).astype(jnp.float64)
+    e_im = (ratio * (n_s[:, 1] * c - n_s[:, 0] * s_)).astype(jnp.float64)
+    e_diag = fn.e_diag[cell]
+    return e_diag + e_re, e_im

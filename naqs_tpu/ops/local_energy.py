@@ -129,10 +129,15 @@ class DeviceTerms:
         dense = None
         if (rank_spec is not None
                 and _os.environ.get("NAQS_TPU_DENSE", "1") != "0"):
-            from naqs_tpu.ops.dense_engine import DenseTerms, FactorTerms
+            from naqs_tpu.ops.dense_engine import (
+                DenseTerms, FactorTerms, FactorTermsXL)
 
             if DenseTerms.supported(terms, hilbert):
                 dense = DenseTerms.build(terms, hilbert)
+            elif FactorTermsXL.supported(terms, hilbert):
+                # n_exc-filtered sectors: the staircase program touches
+                # only the restricted cells (Li2O CISDTQ: 644k vs 41.4M)
+                dense = FactorTermsXL.build(terms, hilbert)
             elif FactorTerms.supported(terms, hilbert):
                 dense = FactorTerms.build(terms, hilbert)
         return DeviceTerms(
@@ -271,9 +276,12 @@ def local_energy(
     """
     if dt.dense is not None:
         from naqs_tpu.ops.dense_engine import (
-            FactorTerms, dense_local_energy, factored_local_energy)
+            FactorTerms, FactorTermsXL, dense_local_energy,
+            factored_local_energy, factored_xl_local_energy)
 
-        impl = (factored_local_energy
+        impl = (factored_xl_local_energy
+                if isinstance(dt.dense, FactorTermsXL)
+                else factored_local_energy
                 if isinstance(dt.dense, FactorTerms) else dense_local_energy)
         return impl(dt.dense, dt.rank_spec, states, log_amp, phase, n_valid,
                     queries=queries, axis_name=axis_name, axis_size=axis_size)

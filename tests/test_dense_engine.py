@@ -117,3 +117,106 @@ def test_factored_matches_numpy(name, m):
     e_np = local_energy_np(terms, buf[:m], psi)
     np.testing.assert_allclose(np.asarray(e_re)[:m], e_np.real, atol=2e-4)
     np.testing.assert_allclose(np.asarray(e_im)[:m], e_np.imag, atol=2e-4)
+
+
+class TestFactorXL:
+    """Exc-blocked staircase engine for n_exc_max-filtered sectors."""
+
+    def _setup(self, name="LiH", n_exc=2):
+        import naqs_tpu as nq
+
+        mol = nq.load_molecule(name)
+        h = nq.Hilbert.for_molecule(mol)
+        h = nq.Hilbert(n_qubits=h.n_qubits, sectors=h.sectors, n_exc_max=n_exc)
+        terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits,
+                                       n_excitations_max=n_exc)
+        return mol, h, terms
+
+    def test_dispatch_and_block_geometry(self):
+        from naqs_tpu.ops.dense_engine import DENSE_SIZE_MAX, FactorTermsXL
+        from naqs_tpu.ops.local_energy import DeviceTerms
+
+        mol, h, terms = self._setup()
+        # force past the DenseTerms small-space path
+        import naqs_tpu.ops.dense_engine as de
+        old = de.DENSE_SIZE_MAX
+        de.DENSE_SIZE_MAX = 1
+        try:
+            dt = DeviceTerms.from_terms(terms, hilbert=h)
+        finally:
+            de.DENSE_SIZE_MAX = old
+        assert isinstance(dt.dense, FactorTermsXL)
+        xl = dt.dense
+        assert xl.n_cells == len(h.basis)
+        # staircase cells = sum over alpha blocks of |A_k| * prefix(E-k)
+        tot = sum(cnt * pw for (_, cnt, pw) in xl.blocks)
+        assert tot == xl.n_cells
+
+    def test_matches_rank_engine_sampled(self):
+        import dataclasses
+
+        from naqs_tpu.ops.dense_engine import FactorTermsXL
+        from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
+        from naqs_tpu.utils.bits import SENTINEL
+
+        mol, h, terms = self._setup()
+        import naqs_tpu.ops.dense_engine as de
+        old = de.DENSE_SIZE_MAX
+        de.DENSE_SIZE_MAX = 1
+        try:
+            dt_xl = DeviceTerms.from_terms(terms, hilbert=h)
+        finally:
+            de.DENSE_SIZE_MAX = old
+        assert isinstance(dt_xl.dense, FactorTermsXL)
+        dt_rank = dataclasses.replace(dt_xl, dense=None)
+
+        rng = np.random.default_rng(5)
+        basis = np.asarray(h.basis, np.uint64)
+        cap, nu = 64, 49
+        sel = np.sort(rng.choice(len(basis), size=nu, replace=False))
+        states = np.full(cap, SENTINEL, np.uint64)
+        states[:nu] = basis[sel]
+        la = rng.normal(size=cap).astype(np.float32) - 1.0
+        ph = rng.normal(size=cap).astype(np.float32)
+        args = (jnp.asarray(states), jnp.asarray(la), jnp.asarray(ph),
+                jnp.int32(nu))
+        r_xl = local_energy(dt_xl, *args)
+        r_rk = local_energy(dt_rank, *args)
+        np.testing.assert_allclose(np.asarray(r_xl[0])[:nu],
+                                   np.asarray(r_rk[0])[:nu],
+                                   rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(r_xl[1])[:nu],
+                                   np.asarray(r_rk[1])[:nu],
+                                   rtol=2e-6, atol=2e-6)
+
+    def test_exact_ground_state_energy(self):
+        """Full filtered basis in the table: <E_loc> under |psi|^2 weights of
+        the CISD ground eigenvector = the CISD eigenvalue."""
+        import dataclasses
+
+        from scipy.sparse.linalg import eigsh
+
+        import naqs_tpu as nq
+        from naqs_tpu.hamiltonian import assemble_sparse_hamiltonian_np
+        from naqs_tpu.ops.dense_engine import FactorTermsXL
+        from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
+
+        mol, h, terms = self._setup()
+        basis = np.asarray(h.basis, np.uint64)
+        H = assemble_sparse_hamiltonian_np(terms, basis)
+        w, v = eigsh(H, k=1, which="SA")
+        e0, vec = w[0], np.abs(v[:, 0]) + 1e-12
+        import naqs_tpu.ops.dense_engine as de
+        old = de.DENSE_SIZE_MAX
+        de.DENSE_SIZE_MAX = 1
+        try:
+            dt = DeviceTerms.from_terms(terms, hilbert=h)
+        finally:
+            de.DENSE_SIZE_MAX = old
+        assert isinstance(dt.dense, FactorTermsXL)
+        la = np.log(vec).astype(np.float32)
+        ph = np.where(v[:, 0] >= 0, 0.0, np.pi).astype(np.float32)
+        e_re, e_im = local_energy(dt, jnp.asarray(basis), jnp.asarray(la),
+                                  jnp.asarray(ph), jnp.int32(len(basis)))
+        e = float(np.sum(v[:, 0] ** 2 * np.asarray(e_re)))
+        assert abs(e - e0) < 5e-6, (e, e0)
