@@ -134,12 +134,14 @@ class DeviceTerms:
 
             if DenseTerms.supported(terms, hilbert):
                 dense = DenseTerms.build(terms, hilbert)
-            elif FactorTermsXL.supported(terms, hilbert):
-                # n_exc-filtered sectors: the staircase program touches
-                # only the restricted cells (Li2O CISDTQ: 644k vs 41.4M)
-                dense = FactorTermsXL.build(terms, hilbert)
             elif FactorTerms.supported(terms, hilbert):
                 dense = FactorTerms.build(terms, hilbert)
+            elif FactorTermsXL.supported(terms, hilbert):
+                # n_exc-filtered sectors beyond the FactorTerms caps: the
+                # staircase program touches only the restricted cells
+                # (Li2O CISDTQ: 644k cells vs a 41.4M full grid whose
+                # FactorTerms r1t buffer would be 151 GB)
+                dense = FactorTermsXL.build(terms, hilbert)
         return DeviceTerms(
             diag_yz=jnp.asarray(pad(terms.diag_yz, kd), dtype=jnp.uint64),
             diag_coeff=jnp.asarray(pad(terms.diag_coeff, kd), dtype=jnp.float64),

@@ -137,14 +137,14 @@ class TestFactorXL:
         from naqs_tpu.ops.local_energy import DeviceTerms
 
         mol, h, terms = self._setup()
-        # force past the DenseTerms small-space path
+        # force past the DenseTerms and FactorTerms small-space paths
         import naqs_tpu.ops.dense_engine as de
-        old = de.DENSE_SIZE_MAX
-        de.DENSE_SIZE_MAX = 1
+        old = de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX
+        de.DENSE_SIZE_MAX = de.FACT_SIZE_MAX = 1
         try:
             dt = DeviceTerms.from_terms(terms, hilbert=h)
         finally:
-            de.DENSE_SIZE_MAX = old
+            de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX = old
         assert isinstance(dt.dense, FactorTermsXL)
         xl = dt.dense
         assert xl.n_cells == len(h.basis)
@@ -161,12 +161,12 @@ class TestFactorXL:
 
         mol, h, terms = self._setup()
         import naqs_tpu.ops.dense_engine as de
-        old = de.DENSE_SIZE_MAX
-        de.DENSE_SIZE_MAX = 1
+        old = de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX
+        de.DENSE_SIZE_MAX = de.FACT_SIZE_MAX = 1
         try:
             dt_xl = DeviceTerms.from_terms(terms, hilbert=h)
         finally:
-            de.DENSE_SIZE_MAX = old
+            de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX = old
         assert isinstance(dt_xl.dense, FactorTermsXL)
         dt_rank = dataclasses.replace(dt_xl, dense=None)
 
@@ -207,12 +207,12 @@ class TestFactorXL:
         w, v = eigsh(H, k=1, which="SA")
         e0, vec = w[0], np.abs(v[:, 0]) + 1e-12
         import naqs_tpu.ops.dense_engine as de
-        old = de.DENSE_SIZE_MAX
-        de.DENSE_SIZE_MAX = 1
+        old = de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX
+        de.DENSE_SIZE_MAX = de.FACT_SIZE_MAX = 1
         try:
             dt = DeviceTerms.from_terms(terms, hilbert=h)
         finally:
-            de.DENSE_SIZE_MAX = old
+            de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX = old
         assert isinstance(dt.dense, FactorTermsXL)
         la = np.log(vec).astype(np.float32)
         ph = np.where(v[:, 0] >= 0, 0.0, np.pi).astype(np.float32)
