@@ -61,6 +61,31 @@ def _job(name, molecule, n_train, seed=11, samp=None, extra=(), env=None):
 def build_jobs():
     jobs = []
 
+    # --- phase "r4" (round 4, VERDICT #2/#4): direct-chem-acc attack on the
+    # two remaining systems, via the pattern h4o2_pw proved out (CISDTQ-exact
+    # stage -> full-space sampled polish descends BELOW the CISDTQ floor:
+    # +1.44 -> +0.84 direct at the production window).
+    # h2o_631g_x5 recreates the x4 recipe that reached +1.16 mHa (partial
+    # mask, CISDTQ exact, the LATE step-4100 solve_H retarget; its checkpoint
+    # did not survive round 3's session reset) with a longer polish on the
+    # scanned exact path; the follow-on pw stage is added once the x5 model's
+    # full-mask re-evaluation / sampler mass retention have been probed.
+    jobs.append(("r4", _job(
+        "h2o_631g_x5", "H2O_6-31G", 8000,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "4100"])))
+    # li2o_xe: Li2O CISDTQ exact mode on the FactorTermsXL engine (1.17 s
+    # per 644,365-state call, scratch/probe_li2o_xl.log — the rank-engine
+    # exact step used to wedge the tunnel outright) with the late full-basis
+    # eigenvector retarget, served from the data/ws_cache disk cache (the
+    # 27-min host eigsh is already done). No -ws_spin: the cache key was
+    # hashed with target_s2=None.
+    jobs.append(("r4", _job(
+        "li2o_xe", "Li2O", 3200,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "2000",
+               "-save_freq", "200"])))
+
     # --- phase "bases_prod" (round 3, VERDICT #1): H2O 6-31G and the water
     # dimer at the REFERENCE production sampling window (unique in [1e4,1e5],
     # run.py:8-11; full-mask for the larger bases per larger_basis_sets.sh).
@@ -392,9 +417,9 @@ def build_jobs():
 
 # execution priority for the round (VERDICT ranking); unknown phases run
 # last. "bases" (h2_ccpvtz retry) leads: minutes of chip for a whole row.
-PHASE_ORDER = ["pw", "li2o_f", "bases", "bases_prod", "carleo", "n2fix", "n2s2pen",
-               "seeds", "zoo", "n2curve", "ablations", "optimizers",
-               "seeds_n2"]
+PHASE_ORDER = ["seeds_n2", "r4", "pw", "li2o_f", "bases", "bases_prod",
+               "carleo", "n2fix", "n2s2pen", "seeds", "zoo", "n2curve",
+               "ablations", "optimizers"]
 
 
 def job_done(out_dir: str) -> bool:

@@ -168,8 +168,7 @@ class TrainConfig:
 
 # ------------------------------------------------------------- device kernels
 
-@partial(jax.jit, static_argnames=("cfg", "optimizer", "reweight_by_psi"))
-def vmc_update(
+def _vmc_update_impl(
     cfg: NAQSConfig,
     optimizer,
     params,
@@ -226,6 +225,52 @@ def vmc_update(
         "grad_norm": grad_norm,
     }
     return params, opt_state, metrics
+
+
+vmc_update = partial(jax.jit, static_argnames=("cfg", "optimizer",
+                                               "reweight_by_psi"))(
+    _vmc_update_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer", "reweight_by_psi",
+                                   "length"))
+def vmc_update_scan(
+    cfg: NAQSConfig,
+    optimizer,
+    params,
+    opt_state,
+    dt: DeviceTerms,
+    batch: SampleBatch,
+    n_live,
+    reweight_by_psi: bool = True,
+    length: int = 25,
+):
+    """`length` SGD steps on one static batch in a SINGLE dispatch.
+
+    Exact-mode training re-uses the same full-basis batch every step, so the
+    whole flush window scans on-device and the host reads back ONE
+    (length, 2) metrics buffer — over the tunneled TPU a small fresh scalar
+    readback costs ~1.7 s while a fixed-shape buffer is ~37 ms (CLAUDE.md),
+    so this turns the measured 0.54 s/step exact wall time into ~the pure
+    18 ms/step device time. `n_live` (traced) masks trailing steps to
+    no-ops so one compiled program serves every partial window (resumes
+    land on arbitrary step counts)."""
+
+    def body(carry, i):
+        params, opt_state = carry
+        new_p, new_o, m = _vmc_update_impl(
+            cfg, optimizer, params, opt_state, dt, batch, reweight_by_psi)
+        on = i < n_live
+        params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(on, n, o), new_p, params)
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(on, n, o), new_o, opt_state)
+        return (params, opt_state), jnp.stack(
+            [m["e_loc"], m["e_loc_var"]])
+
+    (params, opt_state), ms = jax.lax.scan(
+        body, (params, opt_state), jnp.arange(length))
+    return params, opt_state, ms
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -461,12 +506,42 @@ class VMCTrainer:
         path halves the per-step sync count of the classic
         get_samples -> update sequence."""
         t0 = time.time()
-        for _ in range(max_retries):
-            self.key, k = jax.random.split(self.key)
-            batch = sample(
-                self.cfg, self.params, k, jnp.float64(self.n_samples),
-                self.capacity,
-            )
+        self.key, k = jax.random.split(self.key)
+        batch = sample(
+            self.cfg, self.params, k, jnp.float64(self.n_samples),
+            self.capacity,
+        )
+        params, opt_state, metrics = vmc_update(
+            self.cfg, self.optimizer, self.params, self.opt_state,
+            self.dt, batch, self.tc.reweight_by_psi,
+        )
+        e_loc, e_var, n_unq, ovf = jax.device_get(
+            (metrics["e_loc"], metrics["e_loc_var"], batch.n_unique,
+             batch.overflow)
+        )
+        if bool(ovf):
+            # back off with SAMPLE-ONLY probes: the fused update was
+            # computed-then-withheld once already; re-dispatching the full
+            # update per retry doubles the wasted engine work (round-3
+            # VERDICT weak #6). Probe like get_samples, then run the one
+            # update on the batch that fits.
+            for _ in range(max_retries):
+                self._note_overflow()
+                self.n_samples = max(self.n_samples / 10,
+                                     self.tc.n_unq_samples_min)
+                self.key, k = jax.random.split(self.key)
+                batch = sample(
+                    self.cfg, self.params, k, jnp.float64(self.n_samples),
+                    self.capacity,
+                )
+                if not bool(jax.device_get(batch.overflow)):
+                    break
+            else:
+                raise RuntimeError(
+                    "sample-count controller did not converge: capacity "
+                    f"{self.capacity} too small for this wavefunction's "
+                    "support?"
+                )
             params, opt_state, metrics = vmc_update(
                 self.cfg, self.optimizer, self.params, self.opt_state,
                 self.dt, batch, self.tc.reweight_by_psi,
@@ -475,16 +550,8 @@ class VMCTrainer:
                 (metrics["e_loc"], metrics["e_loc_var"], batch.n_unique,
                  batch.overflow)
             )
-            if not bool(ovf):
-                self.params, self.opt_state = params, opt_state
-                break
-            self._note_overflow()
-            self.n_samples = max(self.n_samples / 10, self.tc.n_unq_samples_min)
-        else:
-            raise RuntimeError(
-                "sample-count controller did not converge: capacity "
-                f"{self.capacity} too small for this wavefunction's support?"
-            )
+            assert not bool(ovf)
+        self.params, self.opt_state = params, opt_state
         n_unq = int(n_unq)
         at_max = self.n_samples >= self.tc.n_samples_max
         at_min = self.n_samples <= self.tc.n_unq_samples_min
@@ -759,13 +826,44 @@ class VMCTrainer:
         full_batch = None
         if not batch_size or batch_size >= len(basis_np):
             full_batch = make_batch(basis_np)
+
+        if full_batch is not None:
+            # fast path: the batch is the same every step, so scan FLUSH
+            # steps per dispatch and read back one fixed-shape metrics
+            # buffer (see vmc_update_scan). Flush boundaries respect
+            # save_freq/output_freq via the n_live mask.
+            flush = 25
+            done = 0
+            while done < n_epochs:
+                k = min(flush, n_epochs - done)
+                t0 = time.time()
+                self.params, self.opt_state, ms = vmc_update_scan(
+                    self.cfg, self.optimizer, self.params, self.opt_state,
+                    self.dt, full_batch, jnp.int32(k), length=flush,
+                )
+                ms = np.asarray(ms)  # ONE host readback per flush
+                wall = (time.time() - t0) / k
+                nu = int(full_batch.n_unique)
+                for i in range(k):
+                    self.n_steps += 1
+                    self.run_time += wall
+                    e, v = float(ms[i, 0]), float(ms[i, 1])
+                    self.log["E_LOC"].append((self.n_steps, e))
+                    self.log["E_LOC_VAR"].append((self.n_steps, v))
+                    self.log["N_UNIQUE_SAMP"].append((self.n_steps, nu))
+                    self.log["TIME"].append((self.n_steps, self.run_time))
+                    if (self.n_steps % output_freq == 0) or self.n_steps == 1:
+                        print(f"step {self.n_steps}: <E>={e:.6f} "
+                              f"var={v:.6f}", flush=True)
+                done += k
+                if save_freq and (self.n_steps % save_freq) < k:
+                    self.save()
+            return self
+
         for i in range(n_epochs):
             t0 = time.time()
-            if full_batch is not None:
-                batch = full_batch
-            else:
-                sel = rng.choice(len(basis_np), size=batch_size, replace=False)
-                batch = make_batch(basis_np[sel])
+            sel = rng.choice(len(basis_np), size=batch_size, replace=False)
+            batch = make_batch(basis_np[sel])
             self.params, self.opt_state, metrics = vmc_update(
                 self.cfg, self.optimizer, self.params, self.opt_state,
                 self.dt, batch, reweight_by_psi=True,
@@ -943,13 +1041,48 @@ class VMCTrainer:
             if nu > k_max:
                 top = np.argsort(counts)[-k_max:]
                 states = np.sort(states[top])
-        with _heartbeat(f"solve_h warm start: assembling/diagonalizing "
-                        f"{len(states)} states"):
-            H = assemble_sparse_hamiltonian_np(self.terms, states)
-            e0, vec = self._lowest_state(H, states, target_s2)
-        keep = np.abs(vec) > select_min * np.abs(vec).max()
-        if keep.sum() < 2:  # degenerate fit target: fall back to all entries
+        cache = None
+        if explicit_states and len(states) > 50_000:
+            # big explicit-subspace eigensolves are deterministic in
+            # (terms, states) and can take ~25 min on host (Li2O CISDTQ:
+            # assemble 533 s + eigsh 1059 s) — cache to disk so resumed /
+            # chained runs skip them
+            import hashlib
+
+            h = hashlib.sha1(states.tobytes())
+            h.update(np.ascontiguousarray(self.terms.coeff).tobytes())
+            h.update(np.ascontiguousarray(self.terms.xy_unique).tobytes())
+            h.update(np.float64(target_s2 if target_s2 is not None else -1))
+            cache = os.path.join("data", "ws_cache", h.hexdigest()[:16] + ".npz")
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            e0, vec = float(z["e0"]), z["vec"]
+            print(f"solve_h warm start: loaded cached eigenvector "
+                  f"({len(states)} states, E0={e0:.6f}) from {cache}",
+                  flush=True)
+        else:
+            with _heartbeat(f"solve_h warm start: assembling/diagonalizing "
+                            f"{len(states)} states"):
+                H = assemble_sparse_hamiltonian_np(self.terms, states)
+                e0, vec = self._lowest_state(H, states, target_s2)
+            if cache:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
+                np.savez(cache, e0=e0, vec=vec)
+        if loss in ("overlap", "wmse"):
+            # these losses MUST see the full state set: the norm term
+            # (overlap) / the weighted residual (wmse) only counts fitted
+            # states, so pruning numerically-zero eigenvector entries lets
+            # the model park arbitrary mass on them unpenalized (measured on
+            # LiH: restricted log-fidelity -0.018 while the true energy sat
+            # 400 mHa high). Near-zero targets contribute nothing to <t|psi>
+            # but their norm contribution penalizes exactly that leak. The
+            # mse mag_floor delta-collapse hazard does not apply: overlap has
+            # no per-state log target, and wmse weight-suppresses the tail.
             keep = np.ones(len(vec), bool)
+        else:
+            keep = np.abs(vec) > select_min * np.abs(vec).max()
+            if keep.sum() < 2:  # degenerate fit target: fall back to all
+                keep = np.ones(len(vec), bool)
         self.pre_train_targets(states[keep], vec[keep].astype(np.complex128),
                                n_epochs, lr=lr, loss=loss)
         if explicit_states:
