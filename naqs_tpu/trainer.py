@@ -1244,10 +1244,20 @@ class VMCTrainer:
             "d_p": self.d_p,
             "ws_result": self.ws_result,
             "prng_key": np.asarray(jax.random.key_data(self.key)).tolist(),
-            "log": {k: v for k, v in self.log.items()},
         }
         with open(os.path.join(self.save_loc, f"{fname}.json"), "w") as f:
             json.dump(meta, f)
+        # metric history as compact compressed arrays, NOT inline JSON: a
+        # 4k-step log was ~400 KB of re-committed text per checkpoint sync
+        # (advisor finding, round 3); resumes need it to keep trailing-mean
+        # summaries correct across restarts
+        log_arrays = {}
+        for k, v in self.log.items():
+            a = np.asarray(v, dtype=np.float64).reshape(-1, 2)
+            log_arrays[f"{k}__steps"] = a[:, 0]
+            log_arrays[f"{k}__vals"] = a[:, 1]
+        np.savez_compressed(
+            os.path.join(self.save_loc, f"{fname}_log.npz"), **log_arrays)
         return path
 
     def load(self, fname: str = "checkpoint", params_only: bool = False):
@@ -1309,7 +1319,20 @@ class VMCTrainer:
                 self.key = jax.random.wrap_key_data(
                     jnp.asarray(meta["prng_key"], dtype=jnp.uint32)
                 )
-            self.log = {k: [tuple(x) for x in v] for k, v in meta["log"].items()}
+            if "log" in meta:  # pre-round-4 checkpoints carried it inline
+                self.log = {k: [tuple(x) for x in v]
+                            for k, v in meta["log"].items()}
+            else:
+                log_path = os.path.join(self.save_loc, f"{fname}_log.npz")
+                if os.path.exists(log_path):
+                    with np.load(log_path) as z:
+                        keys = {n.rsplit("__", 1)[0] for n in z.files}
+                        # merge: channels absent from the npz keep their
+                        # (empty) __init__ defaults
+                        for k in keys:
+                            self.log[k] = list(zip(
+                                z[f"{k}__steps"].tolist(),
+                                z[f"{k}__vals"].tolist()))
         return self
 
 
