@@ -822,6 +822,7 @@ def factored_xl_local_energy(
     queries=None,
     axis_name: str | None = None,
     axis_size: int = 1,
+    diag=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """E_loc (re, im) via the exc-blocked staircase program (FactorTermsXL).
 
@@ -829,6 +830,9 @@ def factored_xl_local_energy(
     outside the n_exc_max-restricted basis; rows past n_valid are garbage.
     queries/axis_name/axis_size as in dense_local_energy (the group scans
     are sharded over the mesh axis; the staircase numerator blocks psum).
+    diag=(diag_yz, diag_coeff): with it, queries OUTSIDE the staircase get
+    their true on-the-fly diagonal (matching DenseTerms semantics for
+    in-sector states past the n_exc filter) instead of the sentinel 0.
     """
     q_states, q_la, q_ph = (states, log_amp, phase) if queries is None else queries
     sa, sb = fn.sa, fn.sb
@@ -902,4 +906,10 @@ def factored_xl_local_energy(
     e_re = (ratio * (n_s[:, 0] * c + n_s[:, 1] * s_)).astype(jnp.float64)
     e_im = (ratio * (n_s[:, 1] * c - n_s[:, 0] * s_)).astype(jnp.float64)
     e_diag = fn.e_diag[cell]
+    if diag is not None:
+        from naqs_tpu.utils.bits import parity_pm1
+
+        diag_yz, diag_coeff = diag
+        par = parity_pm1(q_states[:, None] & diag_yz).astype(jnp.float64)
+        e_diag = jnp.where(valid, e_diag, jnp.sum(par * diag_coeff, axis=-1))
     return e_diag + e_re, e_im

@@ -281,9 +281,17 @@ def local_energy(
             FactorTerms, FactorTermsXL, dense_local_energy,
             factored_local_energy, factored_xl_local_energy)
 
-        impl = (factored_xl_local_energy
-                if isinstance(dt.dense, FactorTermsXL)
-                else factored_local_energy
+        if isinstance(dt.dense, FactorTermsXL):
+            # XL's per-cell diagonal table cannot cover in-sector states
+            # OUTSIDE the n_exc staircase (a partial-mask sampler can emit
+            # them); pass the diag terms so those rows get their true
+            # diagonal instead of the sentinel 0 (which would bias a
+            # count-weighted E_loc mean by ~|E| per unit leaked count)
+            return factored_xl_local_energy(
+                dt.dense, dt.rank_spec, states, log_amp, phase, n_valid,
+                queries=queries, axis_name=axis_name, axis_size=axis_size,
+                diag=(dt.diag_yz, dt.diag_coeff))
+        impl = (factored_local_energy
                 if isinstance(dt.dense, FactorTerms) else dense_local_energy)
         return impl(dt.dense, dt.rank_spec, states, log_amp, phase, n_valid,
                     queries=queries, axis_name=axis_name, axis_size=axis_size)

@@ -220,3 +220,44 @@ class TestFactorXL:
                                   jnp.asarray(ph), jnp.int32(len(basis)))
         e = float(np.sum(v[:, 0] ** 2 * np.asarray(e_re)))
         assert abs(e - e0) < 5e-6, (e, e0)
+
+    def test_out_of_staircase_query_gets_true_diagonal(self):
+        """A partial-mask sampler can emit in-sector states past the n_exc
+        filter; their E_loc must be the true diagonal (DenseTerms semantics),
+        not the staircase sentinel's 0 — a zero row biases a count-weighted
+        mean by ~|E| per unit leaked count."""
+        import naqs_tpu as nq
+        from naqs_tpu.hamiltonian import diagonal_energy_np
+        from naqs_tpu.ops.dense_engine import FactorTermsXL
+        from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
+        from naqs_tpu.utils.bits import SENTINEL
+
+        mol, h, terms = self._setup()
+        import naqs_tpu.ops.dense_engine as de
+        old = de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX
+        de.DENSE_SIZE_MAX = de.FACT_SIZE_MAX = 1
+        try:
+            dt = DeviceTerms.from_terms(terms, hilbert=h)
+        finally:
+            de.DENSE_SIZE_MAX, de.FACT_SIZE_MAX = old
+        assert isinstance(dt.dense, FactorTermsXL)
+
+        h_full = nq.Hilbert.for_molecule(mol)
+        in_basis = set(np.asarray(h.basis).tolist())
+        out = np.array(
+            [s for s in np.asarray(h_full.basis).tolist()
+             if s not in in_basis][:3], np.uint64)
+        basis = np.asarray(h.basis, np.uint64)
+        cap = 64
+        states = np.full(cap, SENTINEL, np.uint64)
+        mix = np.sort(np.concatenate([basis[:8], out]))
+        states[: len(mix)] = mix
+        la = np.zeros(cap, np.float32)
+        ph = np.zeros(cap, np.float32)
+        e_re, _ = local_energy(dt, jnp.asarray(states), jnp.asarray(la),
+                               jnp.asarray(ph), jnp.int32(len(mix)))
+        e_re = np.asarray(e_re)
+        diag_oracle = diagonal_energy_np(terms, out)
+        for s_, d in zip(out.tolist(), diag_oracle):
+            i = int(np.searchsorted(mix, np.uint64(s_)))
+            np.testing.assert_allclose(e_re[i], d, rtol=0, atol=1e-9)
