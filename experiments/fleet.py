@@ -74,16 +74,39 @@ def build_jobs():
         "h2o_631g_x5", "H2O_6-31G", 8000,
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-pretrain_hf", "300", "-ws_solve_h", "4100"])))
+    # Postmortem of x5 (single LATE retarget): the step-4100 mse fit lands
+    # +70 mHa high from the +40-mHa pre-fit model and the polish crawls
+    # (~2 mHa/1000 steps, +22 at step 6000); an overlap-loss re-fit from
+    # there plateaus at the same +23 (scratch/probe_x5_overlap.log) — the
+    # model state going INTO the late fit is what matters. x4's +1.16
+    # trajectory (recovered from its args.json: the job was manually
+    # extended in round 3) was a DOUBLE retarget: early fit at 1200 ->
+    # VMC to +7 by 4000 -> second fit -> 2400-step polish. Recreate it:
+    jobs.append(("r4", _job(
+        "h2o_631g_x5c", "H2O_6-31G", 4000,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-pretrain_hf", "300", "-ws_solve_h", "1200"])))
+    jobs.append(("r4", _job(
+        "h2o_631g_x5d", "H2O_6-31G", 2500,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-l", "data/fleet/h2o_631g_x5c", "-ws_solve_h", "100",
+               "-save_freq", "500"])))
     # li2o_xe: Li2O CISDTQ exact mode on the FactorTermsXL engine (1.17 s
     # per 644,365-state call, scratch/probe_li2o_xl.log — the rank-engine
-    # exact step used to wedge the tunnel outright) with the late full-basis
-    # eigenvector retarget, served from the data/ws_cache disk cache (the
-    # 27-min host eigsh is already done). No -ws_spin: the cache key was
-    # hashed with target_s2=None.
+    # exact step used to wedge the tunnel outright), on the same proven
+    # early+late double-retarget schedule; the full-basis eigensolve is
+    # served from the data/ws_cache disk cache (the 27-min host eigsh is
+    # already done). No -ws_spin: the cache key was hashed with
+    # target_s2=None.
     jobs.append(("r4", _job(
-        "li2o_xe", "Li2O", 3200,
+        "li2o_xe", "Li2O", 2000,
         extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-pretrain_hf", "300", "-ws_solve_h", "2000",
+               "-pretrain_hf", "300", "-ws_solve_h", "600",
+               "-save_freq", "200"])))
+    jobs.append(("r4", _job(
+        "li2o_xe2", "Li2O", 1400,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-l", "data/fleet/li2o_xe", "-ws_solve_h", "100",
                "-save_freq", "200"])))
 
     # --- phase "bases_prod" (round 3, VERDICT #1): H2O 6-31G and the water
