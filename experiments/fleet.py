@@ -109,6 +109,24 @@ def build_jobs():
                "-l", "data/fleet/li2o_xe", "-ws_solve_h", "100",
                "-save_freq", "200"])))
 
+    # --- phase "r4b": production-window sampled rows from the CISDTQ-exact
+    # models, under the FULL-MASK re-interpretation of the partial-trained
+    # params. Measured on the x5 checkpoint (scratch/probe_retention.py):
+    # the partial-mask sampler retains 0.1% of ancestral mass (521 uniques
+    # at n_samps 1e7 — the [1e4,1e5] window is unreachable), while the SAME
+    # params re-read with masking='full' retain 100% and yield 54k-90k
+    # uniques; x4f's history shows the re-interpretation is energy-neutral
+    # (+7.17 partial -> +7.12 full at step 1). The full-space H gradient can
+    # then descend BELOW the CISDTQ floor (h4o2_pw: +1.44 -> +0.84 direct).
+    jobs.append(("r4b", _job(
+        "h2o_631g_pw6", "H2O_6-31G", 2500, samp=SAMP_PROD,
+        extra=["-full_mask_psi", "-solve_h_kmax", "100000",
+               "-l", "data/fleet/h2o_631g_x5d", "-save_freq", "250"])))
+    jobs.append(("r4b", _job(
+        "li2o_pwq", "Li2O", 1500, samp=SAMP_PROD,
+        extra=["-full_mask_psi", "-solve_h_kmax", "200000",
+               "-l", "data/fleet/li2o_xe2", "-save_freq", "100"])))
+
     # --- phase "bases_prod" (round 3, VERDICT #1): H2O 6-31G and the water
     # dimer at the REFERENCE production sampling window (unique in [1e4,1e5],
     # run.py:8-11; full-mask for the larger bases per larger_basis_sets.sh).
@@ -440,7 +458,7 @@ def build_jobs():
 
 # execution priority for the round (VERDICT ranking); unknown phases run
 # last. "bases" (h2_ccpvtz retry) leads: minutes of chip for a whole row.
-PHASE_ORDER = ["seeds_n2", "r4", "pw", "li2o_f", "bases", "bases_prod",
+PHASE_ORDER = ["seeds_n2", "r4", "r4b", "pw", "li2o_f", "bases", "bases_prod",
                "carleo", "n2fix", "n2s2pen", "seeds", "zoo", "n2curve",
                "ablations", "optimizers"]
 
