@@ -91,6 +91,13 @@ def build_jobs():
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-l", "data/fleet/h2o_631g_x5c", "-ws_solve_h", "100",
                "-save_freq", "500"])))
+    # pw6 runs BEFORE the Li2O chains (H2O 6-31G is VERDICT missing #1):
+    # the production-window sampled row from x5d's +1.205 model under the
+    # full-mask re-interpretation (see the r4b phase note below).
+    jobs.append(("r4", _job(
+        "h2o_631g_pw6", "H2O_6-31G", 2500, samp=SAMP_PROD,
+        extra=["-full_mask_psi", "-solve_h_kmax", "100000",
+               "-l", "data/fleet/h2o_631g_x5d", "-save_freq", "250"])))
     # li2o_xe: Li2O CISDTQ exact mode on the FactorTermsXL engine (1.17 s
     # per 644,365-state call, scratch/probe_li2o_xl.log — the rank-engine
     # exact step used to wedge the tunnel outright), on the same proven
@@ -118,10 +125,7 @@ def build_jobs():
     # uniques; x4f's history shows the re-interpretation is energy-neutral
     # (+7.17 partial -> +7.12 full at step 1). The full-space H gradient can
     # then descend BELOW the CISDTQ floor (h4o2_pw: +1.44 -> +0.84 direct).
-    jobs.append(("r4b", _job(
-        "h2o_631g_pw6", "H2O_6-31G", 2500, samp=SAMP_PROD,
-        extra=["-full_mask_psi", "-solve_h_kmax", "100000",
-               "-l", "data/fleet/h2o_631g_x5d", "-save_freq", "250"])))
+    # (h2o_631g_pw6 itself is queued in phase r4, before the Li2O chains)
     jobs.append(("r4b", _job(
         "li2o_pwq", "Li2O", 1500, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "200000",

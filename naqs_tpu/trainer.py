@@ -832,7 +832,12 @@ class VMCTrainer:
             # steps per dispatch and read back one fixed-shape metrics
             # buffer (see vmc_update_scan). Flush boundaries respect
             # save_freq/output_freq via the n_live mask.
-            flush = 25
+            # Flush length is SIZE-CAPPED: a 25-step scan over Li2O's
+            # 644,365-state basis reproducibly crashes the axon TPU worker
+            # (kernel fault; 4 steps run fine, scratch/probe_li2o_update.py
+            # bisect), while H2O's 149,661 x 25 program is stable. Cap the
+            # program at ~3e6 state-steps per dispatch.
+            flush = max(1, min(25, int(3_000_000 // max(len(basis_np), 1))))
             done = 0
             while done < n_epochs:
                 k = min(flush, n_epochs - done)
