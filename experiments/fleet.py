@@ -91,30 +91,50 @@ def build_jobs():
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-l", "data/fleet/h2o_631g_x5c", "-ws_solve_h", "100",
                "-save_freq", "500"])))
-    # pw6 runs BEFORE the Li2O chains (H2O 6-31G is VERDICT missing #1):
-    # the production-window sampled row from x5d's +1.205 model under the
-    # full-mask re-interpretation (see the r4b phase note below).
+    # pw6 postmortem: jumping straight from the partial-trained x5d model
+    # to full-space production-window SAMPLING starts at -35 Ha — the
+    # full-mask re-read leaks normalized mass onto n_exc>4 states the exact
+    # stage never trained, and the violent lr-1e-3 recovery stomps the good
+    # parameters (step-850 E_loc +14.6 and crawling). h4o2_pw's +0.838
+    # chain had a full-mask EXACT stage (h4o2_x4f) between the partial
+    # model and the window — its pw step 1 read +1.6 mHa. Recreate that
+    # bridge for H2O:
     jobs.append(("r4", _job(
-        "h2o_631g_pw6", "H2O_6-31G", 2500, samp=SAMP_PROD,
+        "h2o_631g_x5e", "H2O_6-31G", 1500,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-full_mask_psi", "-l", "data/fleet/h2o_631g_x5d",
+               "-save_freq", "250"])))
+    jobs.append(("r4", _job(
+        "h2o_631g_pw7", "H2O_6-31G", 2000, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "100000",
-               "-l", "data/fleet/h2o_631g_x5d", "-save_freq", "250"])))
-    # li2o_xe: Li2O CISDTQ exact mode on the FactorTermsXL engine (1.17 s
-    # per 644,365-state call, scratch/probe_li2o_xl.log — the rank-engine
-    # exact step used to wedge the tunnel outright), on the same proven
-    # early+late double-retarget schedule; the full-basis eigensolve is
-    # served from the data/ws_cache disk cache (the 27-min host eigsh is
-    # already done). No -ws_spin: the cache key was hashed with
-    # target_s2=None.
+               "-l", "data/fleet/h2o_631g_x5e", "-save_freq", "250"])))
+    # Li2O: FULL-MASK CISDTQ exact chain on the FactorTermsXL engine
+    # (single update 2.7 s/step, flush-4 scan stable —
+    # scratch/probe_li2o_update.py). Full mask from the start avoids the
+    # partial->full re-read cliff; the retarget uses the OVERLAP loss,
+    # which (unlike the democratic mse, round-3 finding) never regresses a
+    # full-mask model now that it fits the full state set (test_sr.py).
+    # The 644k eigensolve is served from data/ws_cache (the 27-min host
+    # eigsh is already done; the cache key is loss-independent).
     jobs.append(("r4", _job(
-        "li2o_xe", "Li2O", 2000,
+        "li2o_xf", "Li2O", 1600,
         extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-pretrain_hf", "300", "-ws_solve_h", "600",
+               "-full_mask_psi", "-pretrain_hf", "300",
+               "-ws_solve_h", "500", "-ws_loss", "overlap",
                "-save_freq", "200"])))
     jobs.append(("r4", _job(
-        "li2o_xe2", "Li2O", 1400,
+        "li2o_xf2", "Li2O", 1000,
         extra=["-n_excitations_max", "4", "-exact_sampling",
-               "-l", "data/fleet/li2o_xe", "-ws_solve_h", "100",
+               "-full_mask_psi", "-l", "data/fleet/li2o_xf",
+               "-ws_solve_h", "100", "-ws_loss", "overlap",
                "-save_freq", "200"])))
+    # direct SAMPLED row: short full-mask CISDTQ-space window polish from
+    # the exact model (starts sane — same space, same mask)
+    jobs.append(("r4", _job(
+        "li2o_sq", "Li2O", 600, samp=SAMP_BIG,
+        extra=["-n_excitations_max", "4", "-full_mask_psi",
+               "-l", "data/fleet/li2o_xf2", "-solve_h_kmax", "200000",
+               "-save_freq", "100"])))
 
     # --- phase "r4b": production-window sampled rows from the CISDTQ-exact
     # models, under the FULL-MASK re-interpretation of the partial-trained
@@ -125,11 +145,12 @@ def build_jobs():
     # uniques; x4f's history shows the re-interpretation is energy-neutral
     # (+7.17 partial -> +7.12 full at step 1). The full-space H gradient can
     # then descend BELOW the CISDTQ floor (h4o2_pw: +1.44 -> +0.84 direct).
-    # (h2o_631g_pw6 itself is queued in phase r4, before the Li2O chains)
+    # full-space production-window polish for Li2O (bonus descent below the
+    # CISDTQ floor, h4o2_pw pattern) — runs only if the round window allows
     jobs.append(("r4b", _job(
-        "li2o_pwq", "Li2O", 1500, samp=SAMP_PROD,
+        "li2o_pwq", "Li2O", 1000, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "200000",
-               "-l", "data/fleet/li2o_xe2", "-save_freq", "100"])))
+               "-l", "data/fleet/li2o_xf2", "-save_freq", "100"])))
 
     # --- phase "bases_prod" (round 3, VERDICT #1): H2O 6-31G and the water
     # dimer at the REFERENCE production sampling window (unique in [1e4,1e5],
