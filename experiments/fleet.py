@@ -104,10 +104,24 @@ def build_jobs():
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-full_mask_psi", "-l", "data/fleet/h2o_631g_x5d",
                "-save_freq", "250"])))
+    # x5e postmortem-in-flight: the full-mask re-read of x5d opened at
+    # -37 Ha EXACT — partial-mask exact training leaves the unmasked last
+    # shell's valid-option mass at ~0.1% (the Rayleigh quotient is
+    # normalization-invariant, so leaks are compensated elsewhere in the
+    # product), and the full-mask renorm divides per-prefix amplitudes by
+    # wildly varying p_valid. x5e's plain exact descent recovers slowly;
+    # x5f snaps it onto the CISDTQ eigenvector with the OVERLAP retarget
+    # (never regresses full-mask models, test_sr.py) and polishes.
+    jobs.append(("r4", _job(
+        "h2o_631g_x5f", "H2O_6-31G", 1200,
+        extra=["-n_excitations_max", "4", "-exact_sampling",
+               "-full_mask_psi", "-l", "data/fleet/h2o_631g_x5e",
+               "-ws_solve_h", "100", "-ws_loss", "overlap",
+               "-save_freq", "250"])))
     jobs.append(("r4", _job(
         "h2o_631g_pw7", "H2O_6-31G", 2000, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-solve_h_kmax", "100000",
-               "-l", "data/fleet/h2o_631g_x5e", "-save_freq", "250"])))
+               "-l", "data/fleet/h2o_631g_x5f", "-save_freq", "250"])))
     # Li2O: FULL-MASK CISDTQ exact chain on the FactorTermsXL engine
     # (single update 2.7 s/step, flush-4 scan stable —
     # scratch/probe_li2o_update.py). Full mask from the start avoids the
@@ -117,13 +131,13 @@ def build_jobs():
     # The 644k eigensolve is served from data/ws_cache (the 27-min host
     # eigsh is already done; the cache key is loss-independent).
     jobs.append(("r4", _job(
-        "li2o_xf", "Li2O", 1600,
+        "li2o_xf", "Li2O", 1200,
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-full_mask_psi", "-pretrain_hf", "300",
                "-ws_solve_h", "500", "-ws_loss", "overlap",
                "-save_freq", "200"])))
     jobs.append(("r4", _job(
-        "li2o_xf2", "Li2O", 1000,
+        "li2o_xf2", "Li2O", 600,
         extra=["-n_excitations_max", "4", "-exact_sampling",
                "-full_mask_psi", "-l", "data/fleet/li2o_xf",
                "-ws_solve_h", "100", "-ws_loss", "overlap",
@@ -131,7 +145,7 @@ def build_jobs():
     # direct SAMPLED row: short full-mask CISDTQ-space window polish from
     # the exact model (starts sane — same space, same mask)
     jobs.append(("r4", _job(
-        "li2o_sq", "Li2O", 600, samp=SAMP_BIG,
+        "li2o_sq", "Li2O", 400, samp=SAMP_BIG,
         extra=["-n_excitations_max", "4", "-full_mask_psi",
                "-l", "data/fleet/li2o_xf2", "-solve_h_kmax", "200000",
                "-save_freq", "100"])))
