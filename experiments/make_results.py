@@ -99,6 +99,10 @@ def main(argv=None):
         "li2o_ws": "Li2O sto-3g (30q, CISDTQ full-basis warm start)",
         "li2o_f1": "Li2O sto-3g (30q, CISDTQ, full mask + eigensolve retarget)",
         "li2o_pwf": "Li2O sto-3g (30q, full 41.4M-state space, full-mask polish)",
+        "li2o_xf": "Li2O sto-3g (30q, CISDTQ exact, full mask + overlap retarget)",
+        "li2o_xf2": "Li2O sto-3g (30q, CISDTQ exact, second overlap retarget)",
+        "li2o_sq": "Li2O sto-3g (30q, CISDTQ, sampled window off the exact model)",
+        "li2o_pwq": "Li2O sto-3g (30q, full space, production window sampled)",
     }
     for k, lab in zoo_labels.items():
         if k in S:
@@ -116,6 +120,11 @@ def main(argv=None):
                    ("h2o_631g_x4b", "H2O 6-31G (26q, CISDTQ-exact protocol, rerun)"),
                    ("h2o_631g_x4f", "H2O 6-31G (26q, CISDTQ-exact, full mask)"),
                    ("h2o_631g_pw", "H2O 6-31G (26q, full basis, production window sampled)"),
+                   ("h2o_631g_x5c", "H2O 6-31G (26q, CISDTQ-exact stage 1, early retarget)"),
+                   ("h2o_631g_x5d", "H2O 6-31G (26q, CISDTQ-exact protocol, recreated)"),
+                   ("h2o_631g_x5e", "H2O 6-31G (26q, CISDTQ-exact, full-mask recovery)"),
+                   ("h2o_631g_x5f", "H2O 6-31G (26q, CISDTQ-exact, full mask + overlap retarget)"),
+                   ("h2o_631g_pw7", "H2O 6-31G (26q, full basis, production window sampled, r4)"),
                    ("h4o2", "H4O2 water dimer (28q, sampled window)"),
                    ("h4o2_x4", "H4O2 water dimer (28q, CISDTQ-exact protocol)"),
                    ("h4o2_x4b", "H4O2 water dimer (28q, CISDTQ-exact protocol, rerun)"),
