@@ -136,6 +136,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "eigenvalues' ordering unchanged (targets S=0 in "
                         "m_s=0 sectors, S=m_s in open-shell sectors). "
                         "Reported energies stay pure <H>. 0 = off")
+    p.add_argument("-exact_eloc", action="store_true",
+                   help="exact local energies: evaluate psi over the whole "
+                        "enumerated sector each step and resolve every "
+                        "coupled state against it (no psi(s')=0 truncation "
+                        "for unsampled states); sampling/weights stay "
+                        "unchanged")
     p.add_argument("-exact_sampling", action="store_true",
                    help="train over the entire restricted basis with |psi|^2 weights")
     p.add_argument("-sample_dP", type=float, default=-1,
@@ -304,6 +310,7 @@ def run(args=None) -> dict:
             n_unq_samples_min=args.n_unq_samps_min,
             n_unq_samples_max=args.n_unq_samps_max,
             reweight_by_psi=args.weight_by_psi,
+            exact_eloc=args.exact_eloc,
             use_sr=args.sr,
             sr_damping=args.sr_damping,
             sr_cg_iters=args.sr_cg_iters,

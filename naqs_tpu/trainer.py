@@ -101,6 +101,22 @@ def adaptive_trailing_clip(factor: float, memory: int = 50, init_max: float = 1e
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def log_psi_table(cfg: NAQSConfig, params, states: jnp.ndarray,
+                  chunk: int = 65536):
+    """log_psi over a large SENTINEL-padded state buffer, chunked with
+    lax.map so peak activation memory stays O(chunk) (the full H2O 6-31G
+    sector is 1.66M rows; one unchunked phase-net pass would materialize
+    a multi-GB (rows, 512) activation). `states.shape[0]` must be a
+    multiple of `chunk` (callers pad at construction time)."""
+    n = states.shape[0]
+    if n <= chunk:
+        return log_psi(cfg, params, states)
+    assert n % chunk == 0, "table buffer must be pre-padded to chunk multiple"
+    la, ph = jax.lax.map(
+        lambda s: log_psi(cfg, params, s), states.reshape(n // chunk, chunk))
+    return la.reshape(-1), ph.reshape(-1)
+
+
 @dataclass(frozen=True)
 class TrainConfig:
     n_train: int = 5000
@@ -118,6 +134,15 @@ class TrainConfig:
     n_unq_samples_min: int = 1000
     n_unq_samples_max: int = 4096   # also the device buffer capacity
     reweight_by_psi: bool = False
+    # exact local energies: evaluate psi over the ENTIRE enumerated sector
+    # each step (one chunked MXU pass) and resolve every coupled state
+    # against that table, instead of truncating psi(s') = 0 for unsampled
+    # states (the reference's semantics, energy.py:247-248). Removes the
+    # truncation bias AND restores the zero-variance principle (E_loc is
+    # constant at an eigenstate only when computed exactly), at the cost of
+    # a full-sector forward per step — affordable on TPU up to ~64M states.
+    exact_eloc: bool = False
+    eloc_fwd_chunk: int = 65536     # rows per table-forward chunk
     use_sr: bool = False            # stochastic-reconfiguration natural gradient
     sr_damping: float = 1e-3
     sr_cg_iters: int = 50
@@ -176,9 +201,25 @@ def _vmc_update_impl(
     dt: DeviceTerms,
     batch: SampleBatch,
     reweight_by_psi: bool = False,
+    table=None,
+    fwd_chunk: int = 65536,
 ):
-    """One SGD step on a sampled batch. Returns (params, opt_state, metrics)."""
+    """One SGD step on a sampled batch. Returns (params, opt_state, metrics).
+
+    With `table=(t_states, t_n)` (a SENTINEL-padded enumeration of the full
+    restricted sector), local energies are EXACT: psi is evaluated over the
+    whole sector (log_psi_table) and coupled states resolve against that
+    table, so no psi(s') is ever truncated to zero. Without it, psi(s') is
+    resolved against the sampled batch itself (the reference's truncated
+    estimator, energy.py:247-248)."""
     live = jnp.arange(batch.states.shape[0]) < batch.n_unique
+    t_vals = None
+    if table is not None:
+        # no gradient flows through E_loc; evaluate the sector table once
+        # outside the autodiff region
+        t_states, t_n = table
+        t_vals = jax.lax.stop_gradient(
+            log_psi_table(cfg, params, t_states, fwd_chunk))
 
     def loss_fn(p):
         la, ph = log_psi(cfg, p, batch.states)
@@ -190,7 +231,13 @@ def _vmc_update_impl(
         # guard the empty-batch case (n_unique == 0): 0/0 weights would
         # poison params with NaN permanently; 0-weights make the step a no-op
         w = w / jnp.maximum(jnp.sum(w), 1e-300)
-        e_re, e_im = local_energy(dt, batch.states, la_d, ph_d, batch.n_unique)
+        if t_vals is not None:
+            e_re, e_im = local_energy(
+                dt, t_states, t_vals[0], t_vals[1], t_n,
+                queries=(batch.states, la_d, ph_d))
+        else:
+            e_re, e_im = local_energy(dt, batch.states, la_d, ph_d,
+                                      batch.n_unique)
         e_re = jnp.where(live, e_re, 0.0)
         e_im = jnp.where(live, e_im, 0.0)
         e_mean = jnp.sum(w * e_re)
@@ -228,7 +275,8 @@ def _vmc_update_impl(
 
 
 vmc_update = partial(jax.jit, static_argnames=("cfg", "optimizer",
-                                               "reweight_by_psi"))(
+                                               "reweight_by_psi",
+                                               "fwd_chunk"))(
     _vmc_update_impl)
 
 
@@ -360,6 +408,27 @@ class VMCTrainer:
         self.n_samples = float(train_cfg.n_samples)
         self.capacity = int(train_cfg.n_unq_samples_max)
         self.n_devices = int(n_devices)
+        # exact-E_loc sector table: the full sorted basis, SENTINEL-padded
+        # to a chunk multiple so log_psi_table's lax.map has static shapes
+        self._table = None
+        if train_cfg.exact_eloc:
+            from naqs_tpu.utils.bits import SENTINEL
+
+            basis = hilbert.basis
+            chunk = int(train_cfg.eloc_fwd_chunk)
+            n = len(basis)
+            n_pad = (-(-n // chunk) * chunk) if n > chunk else n
+            buf = np.full((n_pad,), SENTINEL, dtype=np.uint64)
+            buf[:n] = basis
+            self._table = (jnp.asarray(buf), jnp.int32(n))
+            if train_cfg.use_sr or train_cfg.use_kfac:
+                raise ValueError(
+                    "exact_eloc is implemented for the Adam update paths")
+            if n_devices > 1:
+                raise ValueError(
+                    "exact_eloc + sharded step: not wired yet (the sharded "
+                    "step resolves psi against the all-gathered sample "
+                    "table); run with -devices 1")
         self.kfac_state = None
         self._sharded_step = None
         self._sharded_sr_step = None
@@ -514,6 +583,7 @@ class VMCTrainer:
         params, opt_state, metrics = vmc_update(
             self.cfg, self.optimizer, self.params, self.opt_state,
             self.dt, batch, self.tc.reweight_by_psi,
+            table=self._table, fwd_chunk=self.tc.eloc_fwd_chunk,
         )
         e_loc, e_var, n_unq, ovf = jax.device_get(
             (metrics["e_loc"], metrics["e_loc_var"], batch.n_unique,
@@ -545,6 +615,7 @@ class VMCTrainer:
             params, opt_state, metrics = vmc_update(
                 self.cfg, self.optimizer, self.params, self.opt_state,
                 self.dt, batch, self.tc.reweight_by_psi,
+                table=self._table, fwd_chunk=self.tc.eloc_fwd_chunk,
             )
             e_loc, e_var, n_unq, ovf = jax.device_get(
                 (metrics["e_loc"], metrics["e_loc_var"], batch.n_unique,
@@ -704,6 +775,7 @@ class VMCTrainer:
                 self.dt,
                 batch,
                 self.tc.reweight_by_psi,
+                table=self._table, fwd_chunk=self.tc.eloc_fwd_chunk,
             )
         self.n_steps += 1
         dt_step = time.time() - t0
@@ -789,6 +861,7 @@ class VMCTrainer:
             self.params, self.opt_state, metrics = vmc_update(
                 self.cfg, self.optimizer, self.params, self.opt_state,
                 self.dt, batch, reweight_by_psi=True,
+                table=self._table, fwd_chunk=self.tc.eloc_fwd_chunk,
             )
             self.n_steps += 1
             self.run_time += time.time() - t0
@@ -872,6 +945,7 @@ class VMCTrainer:
             self.params, self.opt_state, metrics = vmc_update(
                 self.cfg, self.optimizer, self.params, self.opt_state,
                 self.dt, batch, reweight_by_psi=True,
+                table=self._table, fwd_chunk=self.tc.eloc_fwd_chunk,
             )
             self.n_steps += 1
             self.run_time += time.time() - t0
