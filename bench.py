@@ -1,17 +1,28 @@
-"""Headline benchmark: local-energy throughput (states/sec/chip) on N2 sto-3g.
+"""Headline benchmark: local-energy throughput (states/sec/chip) on N2 sto-3g,
+plus the XL staircase-engine stanza on the Li2O CISDTQ shape (the path that
+gates large n_exc-filtered sectors).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 vs_baseline is the speedup over the reference-equivalent CPU path (a
 vectorized numpy implementation of the reference's Cython+SciPy local-energy
 pipeline, naqs_tpu.hamiltonian.local_energy_np) measured on this host.
+M-points are FIXED across rounds (8192 / 65536 for N2; the full 644,365-state
+Li2O CISDTQ call for XL) so the artifact is regression-comparable;
+*_spread_pct fields record run-to-run variance of the measurement itself.
 """
 
 import json
 import time
 
 import numpy as np
+
+HBM_PEAK_BYTES_S = 819e9   # v5e HBM bandwidth
+BF16_PEAK_FLOPS = 197e12   # v5e MXU bf16 peak
+# the engines run f32 MXU contractions at Precision.HIGHEST (chemistry
+# accuracy); assume f32 effective peak = bf16/4 (multi-pass emulation)
+F32_PEAK_FLOPS = BF16_PEAK_FLOPS / 4
 
 
 def _wait_for_device(deadline_s: float = 1500.0) -> bool:
@@ -39,6 +50,36 @@ def _wait_for_device(deadline_s: float = 1500.0) -> bool:
     return False
 
 
+def _cost_analysis(jitted, *args):
+    """(flops, bytes_accessed) per call from XLA's own cost model."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _load_terms(name, n_exc=None):
+    """Compiled PauliTerms, via the CLI's terms cache when present."""
+    import os
+
+    import naqs_tpu as nq
+    from naqs_tpu.hamiltonian import PauliTerms
+
+    tag = f"_{n_exc}exc" if n_exc is not None else ""
+    cache = os.path.join("data", "terms_cache", f"{name}{tag}_terms.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return PauliTerms(
+                **{k: z[k] for k in z.files
+                   if k not in ("n_qubits", "fingerprint")},
+                n_qubits=int(z["n_qubits"]))
+    mol = nq.load_molecule(name)
+    return nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits,
+                                  n_excitations_max=n_exc)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -58,7 +99,6 @@ def main():
 
     import naqs_tpu as nq
     from naqs_tpu.hamiltonian import local_energy_np
-    from naqs_tpu.models.nade import NAQSConfig, init_params, log_psi
     from naqs_tpu.ops.local_energy import DeviceTerms, local_energy
 
     mol = nq.load_molecule("N2")
@@ -86,27 +126,31 @@ def main():
     # loop-carried data dependency (a += 0*E_loc, which XLA cannot CSE or
     # hoist) and reads back once -- measuring sustained engine throughput
     # the way the fused training step actually runs it (one dispatch/step).
-    def chained(n_valid, n_iter):
+    def chained(terms_dev, n_valid, n_iter):
         def fn(s, a, p):
             def body(_, a_c):
-                e_re, e_im = local_energy(dt, s, a_c, p, n_valid)
+                e_re, e_im = local_energy(terms_dev, s, a_c, p, n_valid)
                 bump = jnp.nan_to_num(e_re) + jnp.nan_to_num(e_im)
                 return a_c + 0.0 * bump.astype(jnp.float32)
             return jax.lax.fori_loop(0, n_iter, body, a)
         return jax.jit(fn)
 
-    def timed(fn, args, n_iter):
+    def timed(fn, args, n_iter, repeats=1):
         out = fn(*args)
         np.asarray(out[:1])  # warm-up + drain
-        t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(out[:1])
-        return (time.perf_counter() - t0) / n_iter
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            np.asarray(out[:1])
+            times.append((time.perf_counter() - t0) / n_iter)
+        return min(times), times
 
     n_it = 20
-    f = chained(jnp.int32(M), n_it)
-    dt_dev = timed(f, (states, la, ph), n_it)
+    f = chained(dt, jnp.int32(M), n_it)
+    dt_dev, times_rep = timed(f, (states, la, ph), n_it, repeats=3)
     rate_dev = M / dt_dev
+    spread_pct = 100.0 * (max(times_rep) - min(times_rep)) / min(times_rep)
 
     # production-window point (reference unique-sample clamp [5e4, 1e5],
     # energy.py:936-971): N2's restricted space only holds 14400 states, so
@@ -120,9 +164,10 @@ def main():
     la2[:m_fill] = rng.normal(scale=1.0, size=m_fill) - 3.0
     ph2 = np.zeros(M2, np.float32)
     ph2[:m_fill] = rng.uniform(0, 2 * np.pi, size=m_fill)
-    f2 = chained(jnp.int32(m_fill), 10)
+    f2 = chained(dt, jnp.int32(m_fill), 10)
     s2, a2, p2 = jnp.asarray(states2_np), jnp.asarray(la2), jnp.asarray(ph2)
-    rate_dev2 = M2 / timed(f2, (s2, a2, p2), 10)
+    t2, _ = timed(f2, (s2, a2, p2), 10)
+    rate_dev2 = M2 / t2
 
     # reference-equivalent CPU baseline (numpy, full vectorization);
     # best of 3 so host-load noise only ever flatters the baseline
@@ -136,10 +181,10 @@ def main():
     rate_cpu = m_cpu / dt_cpu
 
     # strongest native baseline: the repo's own C++/OpenMP kernel (csrc/),
-    # measured live single-core, scaled to a hypothetical 8-core node
-    # (this host exposes 1 core; OpenMP row-parallel scaling is ~linear
-    # at these shapes). vs_native_8core is the honest comparison VERDICT
-    # r3 #6 asked to put in the bench artifact.
+    # measured live single-core. The *_8core_extrapolated comparisons scale
+    # that measurement by an ASSUMED-linear x8 (this host exposes 1 core) —
+    # the assumption is an explicit field so the artifact is self-describing
+    # (advisor finding, round 4).
     rate_native_1core = None
     try:
         from naqs_tpu import native
@@ -154,27 +199,20 @@ def main():
     except Exception:
         pass
 
-    # MFU estimate: XLA's own FLOP count for one engine call at the
-    # production window, divided by the v5e bf16 MXU peak (197 TFLOP/s).
-    # The engine is gather/HBM-bound by design (docs/ENGINE_NOTES.md), so
-    # this reads low — reported for scrutiny, not as a target.
-    mfu_est = None
-    try:
-        lowered = jax.jit(
-            lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(m_fill))
-        ).lower(s2, a2, p2)
-        ca = lowered.compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_call = float(ca.get("flops", 0.0))
-        if flops_call > 0:
-            mfu_est = (flops_call / (M2 / rate_dev2)) / 197e12
-    except Exception:
-        pass
+    # roofline fields: XLA's own FLOP / byte counts for one engine call at
+    # the production window. The engine is gather/HBM-bound by design
+    # (docs/ENGINE_NOTES.md), so MFU reads low — reported for scrutiny
+    # against BOTH the bf16 peak (the chip's ceiling) and the f32 effective
+    # peak (what f32-HIGHEST contractions can actually reach).
+    f_once = jax.jit(
+        lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(m_fill)))
+    flops_call, bytes_call = _cost_analysis(f_once, s2, a2, p2)
+    call_s = M2 / rate_dev2
 
     # correctness cross-check on the overlapping prefix
-    f_once = jax.jit(
+    f_chk = jax.jit(
         lambda s, a, p: local_energy(dt, s, a, p, jnp.int32(M)))
-    e_re, e_im = f_once(states, la, ph)
+    e_re, e_im = f_chk(states, la, ph)
     psi_full = np.exp(log_amp_np + 1j * phase_np)
     e_np_full = local_energy_np(terms, states_np, psi_full)
     err = float(np.max(np.abs(np.asarray(e_re) - e_np_full.real)))
@@ -185,15 +223,65 @@ def main():
         "value": round(rate_dev, 1),
         "unit": "states/s",
         "vs_baseline": round(rate_dev / rate_cpu, 2),
+        "m8192_spread_pct": round(spread_pct, 1),
         "m65536_states_per_sec": round(rate_dev2, 1),
     }
     if rate_native_1core:
         out["native_1core_states_per_sec"] = round(rate_native_1core, 1)
-        out["vs_native_8core"] = round(rate_dev / (8 * rate_native_1core), 2)
-        out["vs_native_8core_m65536"] = round(
+        out["native_scaling_assumption"] = (
+            "x8 linear extrapolation of the 1-core measurement "
+            "(OpenMP row-parallel; this host exposes 1 core)")
+        out["vs_native_8core_extrapolated"] = round(
+            rate_dev / (8 * rate_native_1core), 2)
+        out["vs_native_8core_extrapolated_m65536"] = round(
             rate_dev2 / (8 * rate_native_1core), 2)
-    if mfu_est is not None:
-        out["mfu_est"] = round(mfu_est, 5)
+    if flops_call > 0:
+        out["mfu_bf16peak"] = round(flops_call / call_s / BF16_PEAK_FLOPS, 5)
+        out["mfu_f32peak"] = round(flops_call / call_s / F32_PEAK_FLOPS, 5)
+        out["f32_peak_assumed_tflops"] = round(F32_PEAK_FLOPS / 1e12, 1)
+    if bytes_call > 0:
+        out["bytes_per_sec_m65536"] = round(bytes_call / call_s, 1)
+        out["hbm_frac_m65536"] = round(bytes_call / call_s / HBM_PEAK_BYTES_S, 4)
+
+    # --- XL staircase-engine stanza: Li2O CISDTQ (n_exc <= 4, 644,365
+    # states, 20,558 terms) — the engine that bounds Li2O-class filtered
+    # sectors (round-4 VERDICT #4: track the path that gates the physics).
+    try:
+        mol_x = nq.load_molecule("Li2O")
+        h_x = nq.Hilbert(n_qubits=mol_x.n_qubits,
+                         sectors=nq.Hilbert.for_molecule(mol_x).sectors,
+                         n_exc_max=4)
+        terms_x = _load_terms("Li2O", n_exc=4)
+        dt_x = DeviceTerms.from_terms(terms_x, hilbert=h_x)
+        basis_x = h_x.basis
+        n_x = len(basis_x)
+        cap_x = -(-n_x // 1024) * 1024
+        sx = np.full(cap_x, np.uint64(2**64 - 1), dtype=np.uint64)
+        sx[:n_x] = basis_x
+        rngx = np.random.default_rng(1)
+        lax_ = np.zeros(cap_x, np.float32)
+        lax_[:n_x] = rngx.normal(scale=1.0, size=n_x) - 3.0
+        phx = np.zeros(cap_x, np.float32)
+        phx[:n_x] = rngx.uniform(0, 2 * np.pi, size=n_x)
+        sx_d, lax_d, phx_d = (jnp.asarray(sx), jnp.asarray(lax_),
+                              jnp.asarray(phx))
+        fx = chained(dt_x, jnp.int32(n_x), 3)
+        tx, tx_rep = timed(fx, (sx_d, lax_d, phx_d), 3, repeats=2)
+        fx_once = jax.jit(
+            lambda s, a, p: local_energy(dt_x, s, a, p, jnp.int32(n_x)))
+        flops_x, bytes_x = _cost_analysis(fx_once, sx_d, lax_d, phx_d)
+        out["xl_li2o_cisdtq_states_per_sec"] = round(n_x / tx, 1)
+        out["xl_li2o_call_ms"] = round(tx * 1e3, 1)
+        out["xl_spread_pct"] = round(
+            100.0 * (max(tx_rep) - min(tx_rep)) / min(tx_rep), 1)
+        if bytes_x > 0:
+            out["xl_bytes_per_sec"] = round(bytes_x / tx, 1)
+            out["xl_hbm_frac"] = round(bytes_x / tx / HBM_PEAK_BYTES_S, 4)
+        if flops_x > 0:
+            out["xl_mfu_f32peak"] = round(flops_x / tx / F32_PEAK_FLOPS, 5)
+    except Exception as exc:  # the headline must survive an XL failure
+        out["xl_error"] = f"{type(exc).__name__}: {exc}"
+
     print(json.dumps(out))
 
 

@@ -26,6 +26,9 @@ def get_parser() -> argparse.ArgumentParser:
         allow_abbrev=True,
     )
     p.add_argument("-m", "--molecule", default="H2", help="molecule folder or name")
+    p.add_argument("-hf", "--hamiltonian_fname", default=None,
+                   help="qubit-hamiltonian pkl location override "
+                        "(reference -hf, _base.py:446)")
     p.add_argument("-o", "--out", default=None, help="output folder")
     p.add_argument("-n", "--number", type=int, default=1, help="number of runs")
     p.add_argument("-qo", "--qubit_ordering", type=int, default=-1,
@@ -213,7 +216,8 @@ def run(args=None) -> dict:
     out_root = args.out or _exp_name(args)
     seed = args.seed if args.seed >= 0 else int(time.time()) % 100000
 
-    mol = nq.load_molecule(args.molecule)
+    mol = nq.load_molecule(args.molecule,
+                           hamiltonian_fname=args.hamiltonian_fname)
     print(f"Loaded {mol.name}: {mol.n_qubits} qubits, {mol.n_electrons} electrons, "
           f"{len(mol.qubit_hamiltonian)} Pauli terms")
     for lab, e in [("HF", mol.hf_energy), ("MP2", mol.mp2_energy),

@@ -600,6 +600,14 @@ class FactorTermsXL:
     b_fa: tuple            # (G, gsz, R) int32 rows of par_a (0 pad)
     b_fb: tuple            # (G, gsz, R) int32 rows of par_b (0 pad)
     b_fc: tuple            # (G, gsz, R) f32 coefficients (0 pad = exact no-op)
+    # per-bucket per-block STATIC beta-row bound for the stage-1 slice:
+    # spin-conserving flip masks move a state at most ceil(db/2) beta-exc
+    # blocks, so block k's permuted reads live in the beta prefix
+    # P[min(E, E-k+db_max)] — slicing stage 1 to that prefix cuts the
+    # materialized traffic ~19x on Li2O CISDTQ (351/457 alpha groups are
+    # pure-alpha: their reads are exactly the 644k staircase cells, not
+    # the 25.6M full grid). Buckets are keyed by (gsz, db_max).
+    b_pneed: tuple         # tuple over buckets of tuple over blocks of int
     sa: int                # Sa* (blocked alpha count)
     sb: int                # Sb*
     sa_full: int
@@ -613,13 +621,14 @@ class FactorTermsXL:
              self.pa_idx, self.pb_idx, self.par_a, self.par_b, self.e_diag,
              self.b_pa_row, self.b_pb_row, self.b_fa, self.b_fb, self.b_fc),
             (self.sa, self.sb, self.sa_full, self.sb_full, self.blocks,
-             self.n_cells),
+             self.n_cells, self.b_pneed),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, sa=aux[0], sb=aux[1], sa_full=aux[2],
-                   sb_full=aux[3], blocks=aux[4], n_cells=aux[5])
+        return cls(*leaves, b_pneed=aux[6], sa=aux[0], sb=aux[1],
+                   sa_full=aux[2], sb_full=aux[3], blocks=aux[4],
+                   n_cells=aux[5])
 
     @staticmethod
     def supported(terms, hilbert) -> bool:
@@ -736,9 +745,11 @@ class FactorTermsXL:
             fill[x] = r + 1
 
         # group masks by alpha flip, split groups into <=_XL_CHUNK chunks,
-        # bucket chunks by pow-2 padded size -> a few static-shape scans
+        # bucket chunks by (pow-2 padded size, beta-excursion bound) -> a
+        # few static-shape scans whose stage-1 slices are statically sized
         from collections import defaultdict
 
+        db_bits = np.bitwise_count(ub.astype(np.uint64)).astype(np.int64)
         group_masks = defaultdict(list)
         for k in range(kxy):
             group_masks[int(ga[k])].append(k)
@@ -749,10 +760,16 @@ class FactorTermsXL:
         buckets = defaultdict(list)
         for g, ms in chunks:
             gsz = 1 << int(np.ceil(np.log2(len(ms))))
-            buckets[max(1, gsz)].append((g, ms))
-        b_pa_row, b_pb_row, b_fa, b_fb, b_fc = [], [], [], [], []
-        for gsz in sorted(buckets):
-            entries = buckets[gsz]
+            # spin-conserving flips move exc_b by at most db/2 (db beta-bit
+            # flips = db/2 same-spin creation/annihilation pairs)
+            dbmax = int(max((int(db_bits[gb[m]]) + 1) // 2 for m in ms))
+            buckets[(max(1, gsz), min(dbmax, E))].append((g, ms))
+        b_pa_row, b_pb_row, b_fa, b_fb, b_fc, b_pneed = [], [], [], [], [], []
+        for gsz, dbmax in sorted(buckets):
+            entries = buckets[(gsz, dbmax)]
+            b_pneed.append(tuple(
+                int(p_of_k[max(0, k - dbmax)])
+                for k in range(E + 1) if a_cnt[k] > 0))
             G = len(entries)
             pa_row = np.zeros((G,), np.int32)
             pb_row = np.zeros((G, gsz), np.int32)
@@ -796,6 +813,7 @@ class FactorTermsXL:
             e_diag=jnp.asarray(e_diag),
             b_pa_row=tuple(b_pa_row), b_pb_row=tuple(b_pb_row),
             b_fa=tuple(b_fa), b_fb=tuple(b_fb), b_fc=tuple(b_fc),
+            b_pneed=tuple(b_pneed),
             sa=sa_r, sb=sb_r, sa_full=sa_full, sb_full=sb_full,
             blocks=blocks, n_cells=n_cells,
         )
@@ -831,8 +849,11 @@ def factored_xl_local_energy(
     queries/axis_name/axis_size as in dense_local_energy (the group scans
     are sharded over the mesh axis; the staircase numerator blocks psum).
     diag=(diag_yz, diag_coeff): with it, queries OUTSIDE the staircase get
-    their true on-the-fly diagonal (matching DenseTerms semantics for
-    in-sector states past the n_exc filter) instead of the sentinel 0.
+    their true on-the-fly diagonal ONLY (off-diagonal couplings back into
+    the sampled support are still truncated to psi' = 0 — full DenseTerms
+    parity would resolve those too). A bias mitigation for leaked
+    partial-mask sample mass, weighted only by that leaked mass, not an
+    exact-parity path.
     """
     q_states, q_la, q_ph = (states, log_amp, phase) if queries is None else queries
     sa, sb = fn.sa, fn.sb
@@ -861,18 +882,29 @@ def factored_xl_local_energy(
               fn.b_fa[bi], fn.b_fb[bi], fn.b_fc[bi])
         if axis_name is not None and axis_size > 1:
             xs = _shard_chunks(xs, axis_name, axis_size)
+        pneed_blk = fn.b_pneed[bi]
 
-        def body(carry, x):
+        def body(carry, x, pneed_blk=pneed_blk):
             pa_r, pb_r, fa_c, fb_c, fc_c = x
-            # stage 1: one alpha-permuted transposed grid for this xa group
-            r1t = jnp.swapaxes(grid[fn.pa_idx[pa_r]], 0, 1)  # (sb+1, sa, 2)
+            pa_full = fn.pa_idx[pa_r]                        # (sa,)
             pbsel = fn.pb_idx[pb_r]                          # (g, sb)
             out = []
             for k, (a_off, a_cnt, pw) in enumerate(fn.blocks):
-                # stage 2: block-column pre-slice BEFORE the row gather so
-                # the gathered buffer is (g, pw, a_cnt), never (g, pw, sa)
-                r1t_k = jax.lax.dynamic_slice_in_dim(r1t, a_off, a_cnt, axis=1)
-                t = r1t_k[pbsel[:, :pw]]                     # (g, pw, a_cnt, 2)
+                # stage 1, PER BLOCK and beta-sliced: the permuted reads of
+                # block k live in the beta prefix pneed (bucket-static; see
+                # b_pneed) — materialize only (a_cnt, pneed) of the
+                # alpha-permuted grid instead of the full (sa, sb) copy.
+                # Row pneed is an explicit zero row: out-of-staircase beta
+                # images (pb_idx sentinel sb) clamp onto it and read psi=0.
+                pneed = pneed_blk[k]
+                rows_k = jax.lax.dynamic_slice_in_dim(pa_full, a_off, a_cnt)
+                gk = jax.lax.slice_in_dim(grid, 0, pneed, axis=1)[rows_k]
+                r1t_k = jnp.concatenate(
+                    [jnp.swapaxes(gk, 0, 1),
+                     jnp.zeros((1, a_cnt, 2), jnp.float32)], axis=0)
+                pb_k = jnp.minimum(pbsel[:, :pw], pneed)
+                # stage 2: staircase-restricted row gather + contraction
+                t = r1t_k[pb_k]                              # (g, pw, a_cnt, 2)
                 pa_f = jax.lax.dynamic_slice_in_dim(
                     fn.par_a[fa_c], a_off, a_cnt, axis=2)    # (g, R, a_cnt)
                 pb_f = fn.par_b[fb_c][:, :, :pw] * fc_c[:, :, None]

@@ -1128,9 +1128,14 @@ class VMCTrainer:
             # chained runs skip them
             import hashlib
 
+            # hash EVERY term array assemble_sparse_hamiltonian_np consumes:
+            # two Hamiltonians differing only in parity masks / group maps /
+            # diagonal terms must not collide (advisor finding, round 4)
             h = hashlib.sha1(states.tobytes())
-            h.update(np.ascontiguousarray(self.terms.coeff).tobytes())
-            h.update(np.ascontiguousarray(self.terms.xy_unique).tobytes())
+            for arr in (self.terms.coeff, self.terms.xy_unique,
+                        self.terms.yz_unique, self.terms.gxy, self.terms.gyz,
+                        self.terms.diag_yz, self.terms.diag_coeff):
+                h.update(np.ascontiguousarray(arr).tobytes())
             h.update(np.float64(target_s2 if target_s2 is not None else -1))
             cache = os.path.join("data", "ws_cache", h.hexdigest()[:16] + ".npz")
         if cache and os.path.exists(cache):
@@ -1316,6 +1321,21 @@ class VMCTrainer:
                 os.path.join(self.save_loc, f"{fname}_counter.npz"),
                 states=keys, counts=vals,
             )
+        # metric history as compact compressed arrays, NOT inline JSON: a
+        # 4k-step log was ~400 KB of re-committed text per checkpoint sync
+        # (advisor finding, round 3); resumes need it to keep trailing-mean
+        # summaries correct across restarts. Written BEFORE the json: the
+        # json is the checkpoint's commit record, so a crash between the two
+        # leaves an old json + new npz (a dangling future log the old resume
+        # ignores past its n_steps) rather than a new json silently paired
+        # with a STALE log (advisor finding, round 4).
+        log_arrays = {}
+        for k, v in self.log.items():
+            a = np.asarray(v, dtype=np.float64).reshape(-1, 2)
+            log_arrays[f"{k}__steps"] = a[:, 0]
+            log_arrays[f"{k}__vals"] = a[:, 1]
+        np.savez_compressed(
+            os.path.join(self.save_loc, f"{fname}_log.npz"), **log_arrays)
         meta = {
             "n_steps": self.n_steps,
             "run_time": self.run_time,
@@ -1326,17 +1346,6 @@ class VMCTrainer:
         }
         with open(os.path.join(self.save_loc, f"{fname}.json"), "w") as f:
             json.dump(meta, f)
-        # metric history as compact compressed arrays, NOT inline JSON: a
-        # 4k-step log was ~400 KB of re-committed text per checkpoint sync
-        # (advisor finding, round 3); resumes need it to keep trailing-mean
-        # summaries correct across restarts
-        log_arrays = {}
-        for k, v in self.log.items():
-            a = np.asarray(v, dtype=np.float64).reshape(-1, 2)
-            log_arrays[f"{k}__steps"] = a[:, 0]
-            log_arrays[f"{k}__vals"] = a[:, 1]
-        np.savez_compressed(
-            os.path.join(self.save_loc, f"{fname}_log.npz"), **log_arrays)
         return path
 
     def load(self, fname: str = "checkpoint", params_only: bool = False):
@@ -1407,10 +1416,13 @@ class VMCTrainer:
                     with np.load(log_path) as z:
                         keys = {n.rsplit("__", 1)[0] for n in z.files}
                         # merge: channels absent from the npz keep their
-                        # (empty) __init__ defaults
+                        # (empty) __init__ defaults. Steps are always
+                        # integral — cast back to int so resumed entries
+                        # match the ints freshly-appended ones use
+                        # (advisor finding, round 4)
                         for k in keys:
                             self.log[k] = list(zip(
-                                z[f"{k}__steps"].tolist(),
+                                z[f"{k}__steps"].astype(np.int64).tolist(),
                                 z[f"{k}__vals"].tolist()))
         return self
 

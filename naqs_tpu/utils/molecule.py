@@ -139,11 +139,14 @@ def _resolve_molecule_dir(name_or_path: str) -> str:
     )
 
 
-def load_molecule(name_or_path: str, load_hamiltonian: bool = True) -> Molecule:
+def load_molecule(name_or_path: str, load_hamiltonian: bool = True,
+                  hamiltonian_fname: str | None = None) -> Molecule:
     """Load `<dir>/<mol>.hdf5` (+ `<mol>_qubit_hamiltonian.pkl` if present).
 
     `name_or_path` may be a molecule folder path or a bare molecule name
     resolved against NAQS_TPU_MOLECULE_DIR / ./molecules.
+    `hamiltonian_fname` overrides the qubit-hamiltonian pickle location
+    (reference -hf/--hamiltonian_fname, _base.py:446, system.py:14-26).
     """
     import h5py
 
@@ -185,7 +188,8 @@ def load_molecule(name_or_path: str, load_hamiltonian: bool = True) -> Molecule:
         )
 
     if load_hamiltonian:
-        pkl_path = os.path.join(mol_dir, f"{mol_name}_qubit_hamiltonian.pkl")
+        pkl_path = hamiltonian_fname or os.path.join(
+            mol_dir, f"{mol_name}_qubit_hamiltonian.pkl")
         if os.path.exists(pkl_path):
             mol.qubit_hamiltonian = load_qubit_hamiltonian_pickle(pkl_path)
         elif mol.one_body_integrals is not None:
