@@ -44,7 +44,8 @@ def _keep_unless(flag, new, old):
 
 
 def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap,
-                       reweight_by_psi=False):
+                       reweight_by_psi=False, table=None,
+                       fwd_chunk: int = 65536):
     """Shared sharded front half: per-shard sample, all-gather the global
     psi table, local energies of local rows against the global support.
 
@@ -58,6 +59,14 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap,
     count weights partition the true total across duplicates, but |psi|^2
     weights would double-count them — each row's weight is divided by its
     global multiplicity (run length in the merged sorted buffer).
+
+    table=(t_states, t_n): exact-E_loc mode (trainer.TrainConfig.exact_eloc)
+    — psi is evaluated over the WHOLE enumerated sector and every coupled
+    state resolves against it. The table forward is the expensive part, so
+    it is SHARDED: each chip evaluates its contiguous 1/D slice of the
+    (replicated, SENTINEL-padded) enumeration and the slices are
+    all-gathered (a few MB of (la, ph) f32 over ICI), after which each
+    chip's own query rows gather from the full table as usual.
     """
     batch = sample(cfg, params, key, n_samples / n_dev, cap)
     live = jnp.arange(batch.states.shape[0]) < batch.n_unique
@@ -93,8 +102,29 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap,
     # (per-chip gather work = global/D); the dense/factored engines
     # additionally split their term-chunk scan over the mesh and psum the
     # numerator grid, so the engine hot stage scales ~1/D either way.
+    if table is not None:
+        t_states, t_n = table
+        n_pad = t_states.shape[0]
+        assert n_pad % n_dev == 0, "table buffer must pad to a D multiple"
+        per = n_pad // n_dev
+        i0 = jax.lax.axis_index("dp") * per
+        my_rows = jax.lax.dynamic_slice_in_dim(t_states, i0, per)
+        if per > fwd_chunk and per % fwd_chunk == 0:
+            t_la_l, t_ph_l = jax.lax.map(
+                lambda s: log_psi(cfg, params, s),
+                my_rows.reshape(per // fwd_chunk, fwd_chunk))
+            t_la_l = t_la_l.reshape(-1)
+            t_ph_l = t_ph_l.reshape(-1)
+        else:
+            t_la_l, t_ph_l = log_psi(cfg, params, my_rows)
+        t_la_l, t_ph_l = jax.lax.stop_gradient((t_la_l, t_ph_l))
+        t_la = jax.lax.all_gather(t_la_l, "dp").reshape(-1)
+        t_ph = jax.lax.all_gather(t_ph_l, "dp").reshape(-1)
+        lookup = (t_states, t_la, t_ph, t_n)
+    else:
+        lookup = (g_states, g_la, g_ph, g_n_valid)
     e_re_l, e_im_l = local_energy(
-        dt, g_states, g_la, g_ph, g_n_valid,
+        dt, *lookup,
         queries=(batch.states, la_l, ph_l),
         axis_name="dp", axis_size=n_dev,
     )
@@ -130,6 +160,8 @@ def make_sharded_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     capacity_per_device: int,
+    table=None,
+    fwd_chunk: int = 65536,
 ):
     """Returns jitted step(params, opt_state, dt, keys, n_samples) ->
     (params, opt_state, metrics). `keys` must be jax.random.split(key, D).
@@ -138,12 +170,20 @@ def make_sharded_train_step(
     overflow the (biased) update is withheld — the host controller backs
     off n_samples and resamples, matching the single-chip get_samples
     semantics (reference energy.py:943-969).
+
+    table=(t_states, t_n): exact-E_loc mode — the full-sector psi table
+    forward is sharded over the mesh and all-gathered (see
+    _sample_and_energy). t_states must be SENTINEL-padded to a multiple
+    of D * fwd_chunk (or of D, below one chunk per chip).
     """
     n_dev = mesh.devices.size
+    if table is not None:
+        table = (jnp.asarray(table[0]), jnp.int32(table[1]))
 
     def _device_step(params, opt_state, dt: DeviceTerms, keys, n_samples):
         batch, live, w, e_re, e_im, stats, record = _sample_and_energy(
-            cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device
+            cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device,
+            table=table, fwd_chunk=fwd_chunk,
         )
         e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
 

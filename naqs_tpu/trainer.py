@@ -414,21 +414,20 @@ class VMCTrainer:
         if train_cfg.exact_eloc:
             from naqs_tpu.utils.bits import SENTINEL
 
-            basis = hilbert.basis
-            chunk = int(train_cfg.eloc_fwd_chunk)
-            n = len(basis)
-            n_pad = (-(-n // chunk) * chunk) if n > chunk else n
-            buf = np.full((n_pad,), SENTINEL, dtype=np.uint64)
-            buf[:n] = basis
-            self._table = (jnp.asarray(buf), jnp.int32(n))
             if train_cfg.use_sr or train_cfg.use_kfac:
                 raise ValueError(
                     "exact_eloc is implemented for the Adam update paths")
-            if n_devices > 1:
-                raise ValueError(
-                    "exact_eloc + sharded step: not wired yet (the sharded "
-                    "step resolves psi against the all-gathered sample "
-                    "table); run with -devices 1")
+            basis = hilbert.basis
+            chunk = int(train_cfg.eloc_fwd_chunk)
+            n = len(basis)
+            nd = max(1, int(n_devices))
+            # pad so the buffer splits evenly into per-chip slices that are
+            # themselves chunk multiples (sharded table forward)
+            unit = chunk * nd if n > chunk else nd
+            n_pad = -(-n // unit) * unit
+            buf = np.full((n_pad,), SENTINEL, dtype=np.uint64)
+            buf[:n] = basis
+            self._table = (jnp.asarray(buf), jnp.int32(n))
         self.kfac_state = None
         self._sharded_step = None
         self._sharded_sr_step = None
@@ -457,7 +456,9 @@ class VMCTrainer:
                 )
             else:
                 self._sharded_step = make_sharded_train_step(
-                    model_cfg, self.optimizer, mesh, cap_per_dev
+                    model_cfg, self.optimizer, mesh, cap_per_dev,
+                    table=self._table,
+                    fwd_chunk=int(train_cfg.eloc_fwd_chunk),
                 )
         self.n_steps = 0
         self.run_time = 0.0

@@ -127,3 +127,53 @@ def test_trainer_exact_eloc_step_runs_and_mean_is_variational():
                  jax.lax.stop_gradient(q_ph)))
     np.testing.assert_allclose(np.asarray(e_re)[:nu], e_oracle[idx].real,
                                atol=5e-4, rtol=1e-5)
+
+
+def test_sharded_exact_eloc_matches_single_chip():
+    """8-device sharded exact-E_loc step: the sharded table forward +
+    all-gather must produce the same weighted <E_loc> a single-chip
+    exact-table evaluation gives on the same global batch."""
+    import optax
+    from naqs_tpu.parallel import make_mesh, make_sharded_train_step
+    from naqs_tpu.trainer import TrainConfig
+
+    mol, h, terms = _setup("LiH")
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     masking="partial", amp_hidden=(16,), phase_hidden=(16,))
+    params = init_params(jax.random.key(0), cfg)
+    dt = DeviceTerms.from_terms(terms, hilbert=h)
+    n_dev = 8
+    mesh = make_mesh(jax.devices()[:n_dev])
+    basis = h.basis
+    n = len(basis)
+    n_pad = -(-n // n_dev) * n_dev
+    buf = np.full((n_pad,), SENTINEL, dtype=np.uint64)
+    buf[:n] = basis
+    opt = optax.adam(1e-3)
+    step = make_sharded_train_step(cfg, opt, mesh, capacity_per_device=64,
+                                   table=(buf, n))
+    opt_state = opt.init(params)
+    keys = jax.random.split(jax.random.key(7), n_dev)
+    _, _, metrics = step(params, opt_state, dt, keys, jnp.float64(2e4))
+    e_sharded = float(metrics["e_loc"])
+    assert np.isfinite(e_sharded)
+
+    # oracle: replay each shard's batch, exact E_loc from the dense matrix,
+    # global count-weighted mean
+    la_b, ph_b = log_psi(cfg, params, jnp.asarray(basis))
+    psi = np.exp(np.asarray(la_b, np.float64) - float(jnp.max(la_b))
+                 + 1j * np.asarray(ph_b, np.float64))
+    H = assemble_sparse_hamiltonian_np(terms, basis)
+    e_all = (H @ psi) / psi
+    num = 0.0
+    den = 0.0
+    for d in range(n_dev):
+        b = sample(cfg, params, keys[d], jnp.float64(2e4 / n_dev), 64)
+        nu = int(b.n_unique)
+        st = np.asarray(b.states)[:nu]
+        ct = np.asarray(b.counts)[:nu]
+        idx = np.searchsorted(basis, st)
+        num += float(np.sum(ct * e_all[idx].real))
+        den += float(np.sum(ct))
+    e_oracle = num / den
+    np.testing.assert_allclose(e_sharded, e_oracle, atol=2e-4, rtol=1e-7)
