@@ -877,6 +877,15 @@ def factored_xl_local_energy(
     n_blocks = tuple(
         jnp.zeros((pw, cnt, 2), jnp.float32) for (_, cnt, pw) in fn.blocks)
 
+    # pre-materialize the distinct beta-prefix slices of the grid ONCE per
+    # call (a handful of P-value widths): the per-block stage-1 gathers
+    # read from these, and an explicit copy guarantees the loop-invariant
+    # slice is hoisted out of the scans rather than re-fused per trip
+    pneed_all = sorted({p for pn in fn.b_pneed for p in pn})
+    grid_sliced = {p: (grid if p >= sb + 1
+                       else jax.lax.slice_in_dim(grid, 0, p, axis=1))
+                   for p in pneed_all}
+
     for bi in range(len(fn.b_pa_row)):
         xs = (fn.b_pa_row[bi], fn.b_pb_row[bi],
               fn.b_fa[bi], fn.b_fb[bi], fn.b_fc[bi])
@@ -898,7 +907,7 @@ def factored_xl_local_energy(
                 # images (pb_idx sentinel sb) clamp onto it and read psi=0.
                 pneed = pneed_blk[k]
                 rows_k = jax.lax.dynamic_slice_in_dim(pa_full, a_off, a_cnt)
-                gk = jax.lax.slice_in_dim(grid, 0, pneed, axis=1)[rows_k]
+                gk = grid_sliced[pneed][rows_k]
                 r1t_k = jnp.concatenate(
                     [jnp.swapaxes(gk, 0, 1),
                      jnp.zeros((1, a_cnt, 2), jnp.float32)], axis=0)
