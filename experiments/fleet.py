@@ -78,6 +78,21 @@ def build_jobs():
         "h2o_631g_fs", "H2O_6-31G", 10000, samp=SAMP_PROD,
         extra=["-full_mask_psi", "-exact_eloc",
                "-solve_h_kmax", "100000", "-save_freq", "250"])))
+    # the reference's 5-seed batch for the from-scratch protocol
+    # (batch_train_full_mask.sh seeds 111..555). One run is ~8 h on the
+    # single tunneled chip, so these queue behind everything else; the
+    # suite definition IS the protocol parity, runnable on real fleets.
+    for seed in [111, 222, 333, 444, 555]:
+        jobs.append(("r5_seeds", _job(
+            f"h2o_631g_fs_{seed}", "H2O_6-31G", 10000, seed=seed,
+            samp=SAMP_PROD,
+            extra=["-full_mask_psi", "-exact_eloc",
+                   "-solve_h_kmax", "100000", "-save_freq", "250"])))
+    # H4O2 from scratch under the same protocol (28q, 1.0M-state sector)
+    jobs.append(("r5c", _job(
+        "h4o2_fs", "H4O2", 10000, samp=SAMP_PROD,
+        extra=["-full_mask_psi", "-exact_eloc",
+               "-solve_h_kmax", "100000", "-save_freq", "250"])))
     # Li2O direct-chem-acc attack (VERDICT #3): full-mask CISDTQ-space
     # sampled training with exact E_loc over the 644k-state CISDTQ table
     # (XL engine); warm-started from the best existing full-mask CISDTQ
@@ -525,7 +540,7 @@ def build_jobs():
 
 # execution priority for the round (VERDICT ranking); unknown phases run
 # last. "bases" (h2_ccpvtz retry) leads: minutes of chip for a whole row.
-PHASE_ORDER = ["r5", "r5b", "seeds_n2", "r4", "r4b", "pw", "li2o_f", "bases", "bases_prod",
+PHASE_ORDER = ["r5", "r5b", "r5c", "r5_seeds", "seeds_n2", "r4", "r4b", "pw", "li2o_f", "bases", "bases_prod",
                "carleo", "n2fix", "n2s2pen", "seeds", "zoo", "n2curve",
                "ablations", "optimizers"]
 
