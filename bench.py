@@ -242,6 +242,14 @@ def main():
     if bytes_call > 0:
         out["bytes_per_sec_m65536"] = round(bytes_call / call_s, 1)
         out["hbm_frac_m65536"] = round(bytes_call / call_s / HBM_PEAK_BYTES_S, 4)
+        # XLA "bytes accessed" counts every logical operand access, incl.
+        # reads that fusion keeps in VMEM/registers — values >1 mean the
+        # program re-reads fused operands faster than HBM could serve them,
+        # i.e. the count is an UPPER bound on real HBM traffic, not a
+        # measured DMA rate.
+        out["bytes_note"] = ("bytes from XLA cost_analysis: logical operand "
+                             "traffic, upper bound on HBM bytes (fused "
+                             "reads counted)")
 
     # --- XL staircase-engine stanza: Li2O CISDTQ (n_exc <= 4, 644,365
     # states, 20,558 terms) — the engine that bounds Li2O-class filtered

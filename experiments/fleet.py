@@ -513,6 +513,19 @@ def build_jobs():
                                      "-s2_penalty", "0.5"]))
         )
 
+    # --- phase "seeds_zoo2" (round 5, VERDICT #5 breadth): 5-seed batches
+    # for three more zoo systems (reference run_experiments.sh seeds every
+    # zoo molecule 5x, batch_train.sh:11). These sectors are tiny
+    # (BeH2 1,225 / NH3 3,136 / CH4 15,876 states), so the exact-mode
+    # protocol with the 25-step scan flush runs a full seed in minutes and
+    # every row is DIRECT (e_exact), no VMC+FCI gate needed.
+    for mol, n in [("BeH2", 2000), ("NH3", 2000), ("CH4", 2800)]:
+        for seed in [111, 222, 333, 444, 555]:
+            jobs.append(
+                ("seeds_zoo2", _job(f"seeds_{mol}_{seed}", mol, n, seed=seed,
+                                    extra=["-exact_sampling"]))
+            )
+
     # --- phase "carleo": Choo et al. comparison geometries (reference
     # carleo_comps.sh trains these with the full-mask ansatz). Windows match
     # each system's support size: the small systems saturate below 4096
@@ -540,7 +553,7 @@ def build_jobs():
 
 # execution priority for the round (VERDICT ranking); unknown phases run
 # last. "bases" (h2_ccpvtz retry) leads: minutes of chip for a whole row.
-PHASE_ORDER = ["r5", "r5b", "r5c", "r5_seeds", "seeds_n2", "r4", "r4b", "pw", "li2o_f", "bases", "bases_prod",
+PHASE_ORDER = ["r5", "r5b", "r5c", "seeds_zoo2", "r5_seeds", "seeds_n2", "r4", "r4b", "pw", "li2o_f", "bases", "bases_prod",
                "carleo", "n2fix", "n2s2pen", "seeds", "zoo", "n2curve",
                "ablations", "optimizers"]
 
