@@ -98,12 +98,8 @@ def build_jobs():
     # (XL engine); warm-started from the best existing full-mask CISDTQ
     # model. The CISDTQ floor is -87.891804 (+0.889 mHa, within chemical
     # accuracy), so reaching the floor gives a DIRECT chem-acc E_loc row.
-    jobs.append(("r5b", _job(
-        "li2o_eq", "Li2O", 2000, samp=SAMP_BIG,
-        extra=["-n_excitations_max", "4", "-full_mask_psi", "-exact_eloc",
-               "-l", "data/fleet/li2o_sq", "-solve_h_kmax", "200000",
-               "-save_freq", "100"])))
-    # ... measured (r5, data/fleet/li2o_eq 300-step window): the warm-started
+    # (dropped job li2o_eq: warm-started from li2o_sq, 2000 sampled steps
+    # with exact E_loc) ... measured (r5, 300-step window): the warm-started
     # model sits in a SHARP suboptimal basin (var 7e-4, 1.4k uniques) and the
     # sampled gradient is covariance-scaled — 75 uHa / 300 steps, going
     # nowhere. The h2o_631g_fs trajectory shows from-scratch + exact-E_loc

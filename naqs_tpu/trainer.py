@@ -912,15 +912,40 @@ class VMCTrainer:
             # bisect), while H2O's 149,661 x 25 program is stable. Cap the
             # program at ~3e6 state-steps per dispatch.
             flush = max(1, min(25, int(3_000_000 // max(len(basis_np), 1))))
+            # Adaptive crash fallback: the ~3e6 cap is an empirical bisect,
+            # not a root cause. Each flush dispatch is guarded by an
+            # in-flight sentinel file; a run that died mid-flush (axon
+            # worker fault or tunnel stall) resumes with a halved scan
+            # window for this save_loc, so an unexpected shape that still
+            # crashes converges to per-step dispatch instead of crash-looping.
+            sentinel = None
+            if self.save_loc:
+                os.makedirs(self.save_loc, exist_ok=True)
+                sentinel = os.path.join(self.save_loc, "flush_inflight.json")
+                if os.path.exists(sentinel):
+                    try:
+                        with open(sentinel) as f:
+                            prev = int(json.load(f).get("flush", flush))
+                    except Exception:
+                        prev = flush
+                    flush = max(1, min(flush, prev // 2))
+                    print(f"run_exact: previous run died mid-flush "
+                          f"(window {prev}); resuming with window {flush}",
+                          flush=True)
             done = 0
             while done < n_epochs:
                 k = min(flush, n_epochs - done)
                 t0 = time.time()
+                if sentinel:
+                    with open(sentinel, "w") as f:
+                        json.dump({"flush": flush, "step": self.n_steps}, f)
                 self.params, self.opt_state, ms = vmc_update_scan(
                     self.cfg, self.optimizer, self.params, self.opt_state,
                     self.dt, full_batch, jnp.int32(k), length=flush,
                 )
                 ms = np.asarray(ms)  # ONE host readback per flush
+                if sentinel:
+                    os.remove(sentinel)
                 wall = (time.time() - t0) / k
                 nu = int(full_batch.n_unique)
                 for i in range(k):

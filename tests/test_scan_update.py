@@ -77,3 +77,45 @@ def test_scan_n_live_masks_trailing_steps():
                     jax.tree_util.tree_leaves(o3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-12)
+
+
+def test_flush_sentinel_halves_window_on_crash_resume(tmp_path, monkeypatch):
+    """A run that died mid-flush (axon worker fault / tunnel stall) leaves
+    flush_inflight.json in save_loc; the resume must halve the scan window
+    (trainer.run_exact adaptive fallback for the empirical ~3e6 cap)."""
+    import json as _json
+
+    import naqs_tpu.trainer as trmod
+    from naqs_tpu.trainer import TrainConfig, VMCTrainer
+
+    mol = nq.load_molecule("H2")
+    h = nq.Hilbert.for_molecule(mol)
+    terms = nq.compile_pauli_terms(mol.qubit_hamiltonian, mol.n_qubits)
+    cfg = NAQSConfig(n_qubits=mol.n_qubits, sectors=h.sectors,
+                     amp_hidden=(8,), phase_hidden=(8,))
+    tr = VMCTrainer(cfg, terms, h, TrainConfig(seed=0),
+                    save_loc=str(tmp_path))
+
+    seen = []
+    real = trmod.vmc_update_scan
+
+    def spy(*args, **kw):
+        seen.append(kw.get("length"))
+        # the sentinel must exist DURING the dispatch
+        assert (tmp_path / "flush_inflight.json").exists()
+        return real(*args, **kw)
+
+    monkeypatch.setattr(trmod, "vmc_update_scan", spy)
+
+    # fresh run on a 4-state basis: window = min(25, 3e6//4) = 25
+    tr.run_exact(2)
+    assert seen == [25]
+    assert not (tmp_path / "flush_inflight.json").exists()
+
+    # simulate a crash mid-flush at window 25 -> resume halves to 12
+    with open(tmp_path / "flush_inflight.json", "w") as f:
+        _json.dump({"flush": 25, "step": 2}, f)
+    seen.clear()
+    tr.run_exact(2)
+    assert seen == [12]
+    assert not (tmp_path / "flush_inflight.json").exists()
