@@ -226,6 +226,20 @@ def main():
         "m8192_spread_pct": round(spread_pct, 1),
         "m65536_states_per_sec": round(rate_dev2, 1),
     }
+    # self-describing contention flag: production training runs share the
+    # single tunneled chip with this bench, which can depress every timing
+    # by ~2x (observed round 5: XL call 696 ms contended vs ~520 ms idle).
+    # Record how many trainer processes were live so round-over-round
+    # comparisons (VERDICT r4 weak #3) can tell regression from contention.
+    try:
+        import subprocess as _sp
+        _ps = _sp.run(["ps", "-eo", "args"], capture_output=True, text=True,
+                      timeout=10).stdout
+        out["concurrent_trainer_procs"] = sum(
+            1 for l in _ps.splitlines()
+            if "naqs_tpu.cli" in l and "ps -eo" not in l)
+    except Exception:
+        pass
     if rate_native_1core:
         out["native_1core_states_per_sec"] = round(rate_native_1core, 1)
         out["native_scaling_assumption"] = (
