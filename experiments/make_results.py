@@ -32,6 +32,46 @@ def load(fleet_dir):
         name = os.path.basename(os.path.dirname(path))
         with open(path) as f:
             out[name] = json.load(f)
+    # long-horizon runs (the *_fs from-scratch protocol jobs, ~8 h each on
+    # the single tunneled chip) may outlive a round: synthesize an honest
+    # in-progress row from the latest checkpoint log so RESULTS.md always
+    # reflects the committed state rather than silently omitting the run.
+    import numpy as np
+    for ckpt in sorted(glob.glob(os.path.join(fleet_dir, "*_fs*",
+                                              "checkpoint_log.npz"))):
+        d = os.path.dirname(ckpt)
+        name = os.path.basename(d)
+        if name in out or not os.path.exists(os.path.join(d, "args.json")):
+            continue
+        with open(os.path.join(d, "args.json")) as f:
+            a = json.load(f)
+        z = np.load(ckpt)
+        if "E_LOC__vals" not in z.files or not len(z["E_LOC__vals"]):
+            continue
+        e_loc = z["E_LOC__vals"]
+        window = min(25, len(e_loc))
+        e_smooth = (np.convolve(e_loc, np.ones(window) / window, "valid")
+                    if len(e_loc) >= window else e_loc)
+        mol_meta = {}
+        try:
+            import naqs_tpu as nq
+            mol = nq.load_molecule(a["molecule"])
+            mol_meta = {"hf_energy": mol.hf_energy,
+                        "ccsd_energy": mol.ccsd_energy,
+                        "fci_energy": mol.fci_energy}
+        except Exception:
+            continue
+        out[name] = {
+            "molecule": a["molecule"],
+            "seed": a.get("resolved_seed", a.get("seed")),
+            "e_loc_min": float(e_loc.min()),
+            "e_loc_smoothed_min": float(e_smooth.min()),
+            "e_loc_trailing_mean": float(e_loc[-window:].mean()),
+            "e_vmc_fci_subspace": None,
+            "vmc_estimator": "e_loc_trailing_mean",
+            "in_progress_steps": int(z["E_LOC__steps"][-1]),
+            **mol_meta,
+        }
     return out
 
 
@@ -46,6 +86,8 @@ def best_e(s):
 
 
 def row(label, s, note=""):
+    if s.get("in_progress_steps") and not note:
+        note = f"(IN PROGRESS, step {s['in_progress_steps']}) "
     e = best_e(s)
     fci = s.get("fci_energy")
     est = {"exact_psi_H_psi": "exact", "e_loc_trailing_mean": "E_loc"}.get(
