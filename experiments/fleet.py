@@ -575,6 +575,30 @@ def job_skipped(out_dir: str) -> bool:
     return os.path.exists(os.path.join(out_dir, "SKIP"))
 
 
+def _device_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the tunneled chip with a trivial op in a subprocess (a hung
+    in-process dispatch cannot be cancelled). Same pattern as bench.py."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(int(jnp.arange(4).sum()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and r.stdout.strip() == "6"
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _wait_for_device(name: str) -> None:
+    """Block until the chip answers. The tunnel has multi-HOUR outages
+    (2026-08-17: 4+ h; 2026-08-20: repeated wedges) — burning the job's
+    bounded retry attempts on an unreachable device would abandon
+    resumable multi-hour runs, so outage time must not count."""
+    while not _device_reachable():
+        print(f"[fleet] {name}: device unreachable (tunnel outage); "
+              f"re-probing in 300s", flush=True)
+        time.sleep(300)
+
+
 def run_job(job, stall_secs: float, max_attempts: int = 10,
             compile_grace: float = 2400.0) -> bool:
     out_dir = os.path.join(OUT_ROOT, job["name"])
@@ -589,6 +613,7 @@ def run_job(job, stall_secs: float, max_attempts: int = 10,
             return False
         if job_done(out_dir):
             return True
+        _wait_for_device(job["name"])
         print(f"[fleet] {job['name']} attempt {attempt + 1}: {' '.join(cmd)}",
               flush=True)
         with open(log_path, "a") as log:
@@ -627,6 +652,12 @@ def run_job(job, stall_secs: float, max_attempts: int = 10,
             print(f"[fleet] {job['name']}: DONE", flush=True)
             return True
         if not made_progress:
+            if not _device_reachable():
+                # tunnel outage, not a job fault: the attempt doesn't count
+                print(f"[fleet] {job['name']}: zero-progress attempt "
+                      f"coincides with a device outage — not counted",
+                      flush=True)
+                continue
             zero_progress_attempts += 1
             if zero_progress_attempts >= 2:
                 print(f"[fleet] {job['name']}: no training progress in "
