@@ -627,6 +627,7 @@ def run_job(job, stall_secs: float, max_attempts: int = 10,
                 start_new_session=True, env=child_env,
             )
             last_size, last_change = attempt_start_size, time.time()
+            last_probe = 0.0
             while proc.poll() is None:
                 time.sleep(10)
                 size = os.path.getsize(log_path)
@@ -640,7 +641,22 @@ def run_job(job, stall_secs: float, max_attempts: int = 10,
                 # big compiles are silent for many minutes before the first
                 # training output: give them a long grace, then tighten
                 window = stall_secs if made_progress else compile_grace
-                if time.time() - last_change > window:
+                silent = time.time() - last_change
+                if (silent > stall_secs and window > stall_secs
+                        and time.time() - last_probe > 300):
+                    # silent in the compile-grace window: disambiguate a
+                    # genuine remote compile from a wedged tunnel — if a
+                    # trivial probe op also hangs, the child is blocked on
+                    # a dead device and waiting out the full grace just
+                    # burns wall-clock (observed 3 wedges in one morning)
+                    last_probe = time.time()
+                    if not _device_reachable():
+                        print(f"[fleet] {job['name']}: silent {silent:.0f}s "
+                              f"and device probe failed — wedged, killing "
+                              f"pid {proc.pid} early", flush=True)
+                        os.killpg(proc.pid, signal.SIGKILL)
+                        break
+                if silent > window:
                     print(f"[fleet] {job['name']}: stalled "
                           f"({window:.0f}s silent, progress="
                           f"{made_progress}), killing pid {proc.pid}",
