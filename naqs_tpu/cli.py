@@ -42,6 +42,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("-n_unq_samps_max", type=int, default=100000)
     p.add_argument("-weight_by_psi", action="store_true",
                    help="weight samples by |psi|^2 instead of counts")
+    p.add_argument("-sample_beta", type=float, default=1.0,
+                   help="temper the sampling conditionals to p^beta "
+                        "(beta<1 widens support into the |psi|^2 tail; "
+                        "implies -weight_by_psi for unbiased expectations). "
+                        "Beyond-reference: targets the from-scratch tail "
+                        "gradient-starvation stall (docs/ENGINE_NOTES.md)")
     p.add_argument("-no_mask_psi", action="store_true", help="masking: none")
     p.add_argument("-full_mask_psi", action="store_true", help="masking: full")
     p.add_argument("-lr", type=float, default=-1,
@@ -303,6 +309,14 @@ def run(args=None) -> dict:
                   f"({len(td)} merged Pauli terms)")
 
         use_default_schedule = args.lr < 0
+        if args.sample_beta != 1.0 and not args.weight_by_psi:
+            # tempered counts are multiplicities under p^beta, not p:
+            # count-weighting would bias every expectation toward the tail
+            print(f"sample_beta={args.sample_beta}: enabling -weight_by_psi "
+                  "(exact |psi|^2 weights keep the estimator unbiased)")
+            args.weight_by_psi = True
+        if not (0.0 < args.sample_beta <= 1.0):
+            raise SystemExit("-sample_beta must be in (0, 1]")
         tc = TrainConfig(
             n_train=args.n_train,
             lr=1e-3 if use_default_schedule else args.lr,
@@ -314,6 +328,7 @@ def run(args=None) -> dict:
             n_unq_samples_min=args.n_unq_samps_min,
             n_unq_samples_max=args.n_unq_samps_max,
             reweight_by_psi=args.weight_by_psi,
+            sample_beta=args.sample_beta,
             exact_eloc=args.exact_eloc,
             use_sr=args.sr,
             sr_damping=args.sr_damping,

@@ -45,7 +45,7 @@ def _keep_unless(flag, new, old):
 
 def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap,
                        reweight_by_psi=False, table=None,
-                       fwd_chunk: int = 65536):
+                       fwd_chunk: int = 65536, sample_beta: float = 1.0):
     """Shared sharded front half: per-shard sample, all-gather the global
     psi table, local energies of local rows against the global support.
 
@@ -68,7 +68,8 @@ def _sample_and_energy(cfg, params, dt, key, n_samples, n_dev, cap,
     all-gathered (a few MB of (la, ph) f32 over ICI), after which each
     chip's own query rows gather from the full table as usual.
     """
-    batch = sample(cfg, params, key, n_samples / n_dev, cap)
+    batch = sample(cfg, params, key, n_samples / n_dev, cap,
+                   beta=sample_beta)
     live = jnp.arange(batch.states.shape[0]) < batch.n_unique
 
     la_l, ph_l = log_psi(cfg, params, batch.states)
@@ -162,6 +163,8 @@ def make_sharded_train_step(
     capacity_per_device: int,
     table=None,
     fwd_chunk: int = 65536,
+    reweight_by_psi: bool = False,
+    sample_beta: float = 1.0,
 ):
     """Returns jitted step(params, opt_state, dt, keys, n_samples) ->
     (params, opt_state, metrics). `keys` must be jax.random.split(key, D).
@@ -183,7 +186,8 @@ def make_sharded_train_step(
     def _device_step(params, opt_state, dt: DeviceTerms, keys, n_samples):
         batch, live, w, e_re, e_im, stats, record = _sample_and_energy(
             cfg, params, dt, keys[0], n_samples, n_dev, capacity_per_device,
-            table=table, fwd_chunk=fwd_chunk,
+            reweight_by_psi=reweight_by_psi, table=table, fwd_chunk=fwd_chunk,
+            sample_beta=sample_beta,
         )
         e_mean, e_mean_im, e_var, n_unique_global, overflow = stats
 

@@ -73,19 +73,31 @@ def _compact_children(a, b, child_weights, child_valid, j, cap):
     return a_new, b_new, w_new, valid_new, n_children
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity"))
+@partial(jax.jit, static_argnames=("cfg", "capacity", "beta"))
 def sample(
     cfg: NAQSConfig,
     params,
     key,
     n_samples: jnp.ndarray,
     capacity: int,
+    beta: float = 1.0,
 ) -> SampleBatch:
     """Draw `n_samples` (traced f64 scalar) ancestral samples.
 
     Returns up to `capacity` unique states with multiplicities. Under
     partial/none masking, unphysical samples are discarded (counts drop),
     matching reference semantics (nade.py:694-695).
+
+    `beta` (static) tempers the per-shell sampling conditionals to
+    p_j^beta (renormalized): beta < 1 widens sampled support into the
+    |psi|^2 tail. Counts are then multiplicities under the TEMPERED
+    distribution — consumers MUST switch to exact |psi|^2 weighting
+    (reweight_by_psi) for unbiased expectations. Beyond-reference
+    extension: targets the tail gradient-starvation mechanism measured in
+    docs/ENGINE_NOTES.md "anatomy of the from-scratch stall"; with
+    reweight_by_psi + exact E_loc the estimator equals the |psi|^2-weighted
+    gradient truncated to the (widened) support, so it is exact as support
+    coverage -> 1.
     """
     s = cfg.n_shells
     cap = capacity
@@ -104,9 +116,15 @@ def sample(
 
         shells = jnp.arange(s, dtype=jnp.uint32)
         alpha = ((a[:, None] >> shells) & jnp.uint32(1)).astype(jnp.int32)
-        beta = ((b[:, None] >> shells) & jnp.uint32(1)).astype(jnp.int32)
+        beta_bits = ((b[:, None] >> shells) & jnp.uint32(1)).astype(jnp.int32)
 
-        _, mask, probs = amp_conditional_shell(cfg, params, j, alpha, beta)
+        log_amp4, mask, probs = amp_conditional_shell(cfg, params, j, alpha, beta_bits)
+        if beta != 1.0:
+            # log-space tempering: masked options carry log_amp -> -inf so
+            # exp gives exact zeros; renormalize over the valid options
+            pt = jnp.exp(2.0 * beta * log_amp4.astype(jnp.float64))
+            probs = (pt / jnp.maximum(jnp.sum(pt, axis=-1, keepdims=True),
+                                      1e-300)).astype(probs.dtype)
         child_counts = multinomial4(kj, counts, probs)        # (cap, 4)
         child_counts = child_counts * mask                    # drop unphysical
         child_valid = (child_counts > 0) & valid[:, None]

@@ -134,6 +134,12 @@ class TrainConfig:
     n_unq_samples_min: int = 1000
     n_unq_samples_max: int = 4096   # also the device buffer capacity
     reweight_by_psi: bool = False
+    # tempered ancestral sampling: draw from per-shell conditionals p^beta
+    # (beta < 1 widens support into the |psi|^2 tail). Requires
+    # reweight_by_psi for unbiased expectations — the cli enforces this.
+    # Targets the measured from-scratch stall mechanism (tail amplitude
+    # gradient starvation, docs/ENGINE_NOTES.md round-5 anatomy section).
+    sample_beta: float = 1.0
     # exact local energies: evaluate psi over the ENTIRE enumerated sector
     # each step (one chunked MXU pass) and resolve every coupled state
     # against that table, instead of truncating psi(s') = 0 for unsampled
@@ -459,6 +465,8 @@ class VMCTrainer:
                     model_cfg, self.optimizer, mesh, cap_per_dev,
                     table=self._table,
                     fwd_chunk=int(train_cfg.eloc_fwd_chunk),
+                    reweight_by_psi=train_cfg.reweight_by_psi,
+                    sample_beta=train_cfg.sample_beta,
                 )
         self.n_steps = 0
         self.run_time = 0.0
@@ -537,7 +545,8 @@ class VMCTrainer:
         for _ in range(max_retries):
             self.key, k = jax.random.split(self.key)
             batch = sample(
-                self.cfg, self.params, k, jnp.float64(self.n_samples), self.capacity
+                self.cfg, self.params, k, jnp.float64(self.n_samples),
+                self.capacity, beta=self.tc.sample_beta,
             )
             # one round-trip for both controller scalars (tunnel latency)
             n_unq_d, overflow = jax.device_get((batch.n_unique, batch.overflow))
@@ -579,7 +588,7 @@ class VMCTrainer:
         self.key, k = jax.random.split(self.key)
         batch = sample(
             self.cfg, self.params, k, jnp.float64(self.n_samples),
-            self.capacity,
+            self.capacity, beta=self.tc.sample_beta,
         )
         params, opt_state, metrics = vmc_update(
             self.cfg, self.optimizer, self.params, self.opt_state,
@@ -603,7 +612,7 @@ class VMCTrainer:
                 self.key, k = jax.random.split(self.key)
                 batch = sample(
                     self.cfg, self.params, k, jnp.float64(self.n_samples),
-                    self.capacity,
+                    self.capacity, beta=self.tc.sample_beta,
                 )
                 if not bool(jax.device_get(batch.overflow)):
                     break
