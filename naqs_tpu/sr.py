@@ -24,7 +24,7 @@ from naqs_tpu.sampler import SampleBatch
 
 
 @partial(jax.jit, static_argnames=("cfg", "cg_iters", "reweight_by_psi",
-                                   "fisher_mix"))
+                                   "fisher_mix", "fwd_chunk"))
 def sr_update(
     cfg: NAQSConfig,
     params,
@@ -36,6 +36,8 @@ def sr_update(
     reweight_by_psi: bool = False,
     kl_clip: jnp.ndarray = None,
     fisher_mix: float = 0.0,
+    table=None,
+    fwd_chunk: int = 65536,
 ):
     """One SR step. Returns (new_params, metrics).
 
@@ -73,10 +75,25 @@ def sr_update(
         w = jnp.where(live, batch.counts, 0.0)
     w = w / jnp.sum(w)
 
-    e_re, e_im = local_energy(
-        dt, batch.states, la.astype(jnp.float32), ph.astype(jnp.float32),
-        batch.n_unique,
-    )
+    if table is not None:
+        # exact local energies: resolve coupled states against a psi table
+        # over the ENTIRE enumerated sector (same contract as vmc_update,
+        # trainer.py:226-243); no gradient flows through E_loc
+        from naqs_tpu.trainer import log_psi_table
+
+        t_states, t_n = table
+        t_vals = jax.lax.stop_gradient(
+            log_psi_table(cfg, params, t_states, fwd_chunk))
+        e_re, e_im = local_energy(
+            dt, t_states, t_vals[0], t_vals[1], t_n,
+            queries=(batch.states, la.astype(jnp.float32),
+                     ph.astype(jnp.float32)),
+        )
+    else:
+        e_re, e_im = local_energy(
+            dt, batch.states, la.astype(jnp.float32), ph.astype(jnp.float32),
+            batch.n_unique,
+        )
     e_re = jnp.where(live, e_re, 0.0)
     e_im = jnp.where(live, e_im, 0.0)
     e_mean = jnp.sum(w * e_re)

@@ -420,9 +420,10 @@ class VMCTrainer:
         if train_cfg.exact_eloc:
             from naqs_tpu.utils.bits import SENTINEL
 
-            if train_cfg.use_sr or train_cfg.use_kfac:
+            if train_cfg.use_kfac or (train_cfg.use_sr and n_devices > 1):
                 raise ValueError(
-                    "exact_eloc is implemented for the Adam update paths")
+                    "exact_eloc is implemented for the Adam update paths "
+                    "and single-chip SR")
             basis = hilbert.basis
             chunk = int(train_cfg.eloc_fwd_chunk)
             n = len(basis)
@@ -763,6 +764,7 @@ class VMCTrainer:
                 kl_clip=(None if self.tc.sr_kl_clip is None
                          else jnp.float64(self.tc.sr_kl_clip)),
                 fisher_mix=self.tc.sr_fisher_mix,
+                table=self._table, fwd_chunk=self.tc.eloc_fwd_chunk,
             )
         elif self.tc.use_kfac:
             from naqs_tpu.kfac import kfac_init, kfac_update
