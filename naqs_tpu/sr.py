@@ -133,6 +133,13 @@ def sr_update(
         lr = lr * jnp.minimum(
             1.0, jnp.sqrt(kl_clip.astype(flat0.dtype) / (lr * lr * q)))
     new_flat = flat0 - lr * x
+    # withhold the update on overflow (truncated batch => biased) or any
+    # non-finite (one NaN would poison params permanently — same guard as
+    # the Adam path, trainer.py:265-276)
+    bad = (batch.overflow
+           | ~jnp.isfinite(e_mean)
+           | ~jnp.isfinite(jnp.sum(new_flat)))
+    new_flat = jnp.where(bad, flat0, new_flat)
     metrics = {
         "e_loc": e_mean,
         "e_loc_var": e_var,
