@@ -111,6 +111,24 @@ def build_jobs():
         "li2o_fs", "Li2O", 8000, samp=SAMP_PROD,
         extra=["-n_excitations_max", "4", "-full_mask_psi", "-exact_eloc",
                "-solve_h_kmax", "200000", "-save_freq", "250"])))
+    # --- phase "r5sr": the stall-mechanism closing experiment. The fs run's
+    # +13 mHa plateau is in-subspace amplitude tail starvation (ENGINE_NOTES
+    # anatomy): per-state gradient signal ~ O(p), so tail directions relax at
+    # O(1/p) steps under ANY first-order method (lr drop and tempering both
+    # measured null). SR's Fisher metric divides each direction by its
+    # sampled weight — exactly the O(1/p) correction — so forking the
+    # stalled step-3500 state onto SR isolates whether preconditioning
+    # (not support, not lr, not estimator bias) is the binding constraint.
+    # Measured (r5, 20 steps @ kl_clip 1e-3): -0.5 mHa/250 steps, 5x the
+    # Adam slope, 0.65 s/step; this job runs the kl_clip 0.01 arm.
+    jobs.append(("r5sr", _job(
+        "h2o_631g_fsr", "H2O_6-31G", 10000, samp=SAMP_PROD,
+        extra=["-l", os.path.join(OUT_ROOT, "h2o_631g_fs"),
+               "-full_mask_psi", "-exact_eloc",
+               "-sr", "-weight_by_psi", "-sr_fisher_mix", "0.1",
+               "-sr_kl_clip", "0.01", "-sr_damping", "0.001",
+               "-sr_cg_iters", "50", "-lr", "0.05",
+               "-save_freq", "50"])))
 
     # --- phase "r4" (round 4, VERDICT #2/#4): direct-chem-acc attack on the
     # two remaining systems, via the pattern h4o2_pw proved out (CISDTQ-exact
