@@ -198,6 +198,9 @@ def main(argv=None):
             if best_e(s) is not None else 1e9))(S[k]))
 
     for k, lab in [
+        # the fs run stalled (+13.1 mHa, slope ~0.1 mHa/250 steps through
+        # step 5500; mechanism dissected in the note below) — label it so,
+        # not IN PROGRESS
         ("h2o_631g_fs", "H2O 6-31G (26q, FROM SCRATCH, production window, "
                         "exact E_loc, r5)"),
         ("h2o_631g_pw7", "H2O 6-31G (26q, production window, warm-started "
@@ -208,6 +211,8 @@ def main(argv=None):
          "H2O 6-31G (26q, best CISDTQ-exact chain row)"),
         ("h2o_631g", "H2O 6-31G (26q, sampled window, truncated E_loc "
                      "[estimator-bias ablation])"),
+        ("h2o_631g_fsr", "H2O 6-31G (26q, SR natural-gradient fork of the "
+                         "stalled from-scratch run, r5)"),
         ("h4o2_fs", "H4O2 water dimer (28q, FROM SCRATCH, production "
                     "window, exact E_loc, r5)"),
         ("h4o2_pw", "H4O2 water dimer (28q, production window, "
@@ -218,7 +223,33 @@ def main(argv=None):
                  "[estimator-bias ablation])"),
     ]:
         if k is not None and k in S:
-            A(row(lab, S[k]))
+            note = ("(stalled; see note below) "
+                    if k == "h2o_631g_fs" else "")
+            A(row(lab, S[k], note=note))
+    A("")
+    A("### The from-scratch H2O 6-31G stall (round-5 ablation chain)")
+    A("")
+    A("The reference-protocol from-scratch run (`h2o_631g_fs`: random init, 20")
+    A("pre-training steps, full mask, sampled at the window, exact E_loc, Adam")
+    A("lr 1e-3) descends to -76.1084 (+13.1 mHa) by step ~2400 and then crawls")
+    A("at ~0.1 mHa / 250 steps. Five controlled arms dissected the stall")
+    A("(mechanism details in docs/ENGINE_NOTES.md \"anatomy\" sections):")
+    A("")
+    A("| arm | change | outcome |")
+    A("|---|---|---|")
+    A("| anatomy probe | none (state dissection at step 3000) | NOT mass leakage (0.9999985 in-CISDTQ), NOT phases (sign-stripped overlap moves <1e-4); the whole gap is in-subspace amplitude misallocation of ~0.5% mass |")
+    A("| truncated-E_loc ablation | psi(s')=0 truncation | stalls the same way, 3 mHa worse at 10k steps — estimator bias adds to, but does not cause, the stall |")
+    A("| tempered sampling (beta=0.8) | support 11.5k -> 27.5k uniques/step | slope unchanged — support truncation is not the binding constraint |")
+    A("| lr drop at step 5000 (protocol) | lr 1e-3 -> 5e-4, run to step 5500 | slope unchanged — the floor is not Adam stationary noise |")
+    A("| SR natural gradient from step 3500 (`h2o_631g_fsr`) | Fisher-preconditioned updates (support-regularized metric, KL trust region) | first 20 measured steps: 5x the Adam slope at the tightest trust region (kl_clip 1e-3), 0.65 s/step; bounded by a multi-hour tunnel outage |")
+    A("")
+    A("Conclusion so far: per-state gradient signal scales with sampled weight")
+    A("p, so the last ~0.5% of amplitude mass converges at O(1/p) step scale")
+    A("under any first-order method — a single eigensolve retarget writes those")
+    A("amplitudes directly and recovers +12 mHa instantly (the warm-started")
+    A("chain row above), while the from-scratch protocol needs a preconditioner")
+    A("that rescales tail directions (SR, whose Fisher metric is exactly the")
+    A("O(1/p) correction) or a >>10k-step budget.")
     A("")
 
     # curve runs: "n2_<r>", optionally superseded by a spin-penalty rerun
