@@ -126,7 +126,15 @@ def build_jobs():
         extra=["-l", os.path.join(OUT_ROOT, "h2o_631g_fs"),
                "-full_mask_psi", "-exact_eloc",
                "-sr", "-weight_by_psi", "-sr_fisher_mix", "0.1",
-               "-sr_kl_clip", "0.01", "-sr_damping", "0.001",
+               # damping is the measured binding constraint, not the trust
+               # region: kl_clip 1e-3 -> 1e-2 left the slope unchanged and
+               # decaying (-0.04 then -0.008 mHa per 25 steps), exactly the
+               # signature of lambda >> p for tail directions — (S+lambda)
+               # ~= lambda there, which re-introduces the O(p) suppression
+               # SR exists to remove. lambda 1e-5 extends the O(1/p)
+               # correction three decades down the tail; the KL trust
+               # region bounds the worse-conditioned steps.
+               "-sr_kl_clip", "0.01", "-sr_damping", "1e-5",
                "-sr_cg_iters", "50", "-lr", "0.05",
                "-save_freq", "50"])))
 
